@@ -1,0 +1,189 @@
+"""Fixed-capacity open-addressing voxel hash table.
+
+TPU-native replacement for MinkowskiEngine's CoordinateManager / coordinate
+hashing (the reference builds coordinate maps inside C++/CUDA via
+``ME.TensorField(...).sparse()`` at /root/reference/src/sps/models/models.py:24-25
+and shares them across tensors for union/pruning at
+/root/reference/src/sps/datasets/util.py:85-114).
+
+Everything here has **static shapes** (capacities chosen at trace time) so
+the whole pipeline compiles once under ``jax.jit``; dynamic quantities (the
+number of occupied slots, probe lengths) are data, not shapes.
+
+Design: linear probing over a power-of-two table. Insertion is the classic
+parallel scheme — every still-pending key tries to claim its current probe
+slot with a ``scatter-min`` of its row id; winners install their key, losers
+either discover a duplicate of their own key (resolve to that slot) or
+advance their probe. This is O(max cluster length) *rounds*, each round a
+handful of vectorized gathers/scatters — XLA-friendly, no serial loops over
+rows.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+# Sentinel for "no row" in table slots and failed lookups.
+EMPTY = -1
+
+# Default bound on probe rounds; with load factor <= 0.5 the longest probe
+# cluster is far below this in practice. The loops also exit early once all
+# rows resolve.
+MAX_ROUNDS = 128
+
+
+class HashTable(NamedTuple):
+    """Open-addressing table mapping int32 coordinate 4-tuples -> row ids.
+
+    Attributes:
+      keys: (S, 4) int32 — stored coordinate keys (undefined where empty).
+      rows: (S,) int32 — row id stored at each slot, EMPTY (-1) if vacant.
+    """
+
+    keys: jnp.ndarray
+    rows: jnp.ndarray
+
+    @property
+    def capacity(self) -> int:
+        return self.rows.shape[0]
+
+
+def _mix(coords: jnp.ndarray) -> jnp.ndarray:
+    """Hash (N, 4) int32 coordinates to (N,) uint32."""
+    c = coords.astype(jnp.uint32)
+    h = (
+        c[:, 0] * jnp.uint32(0x9E3779B1)
+        ^ c[:, 1] * jnp.uint32(0x85EBCA77)
+        ^ c[:, 2] * jnp.uint32(0xC2B2AE3D)
+        ^ c[:, 3] * jnp.uint32(0x27D4EB2F)
+    )
+    h = h ^ (h >> jnp.uint32(16))
+    h = h * jnp.uint32(0x7FEB352D)
+    h = h ^ (h >> jnp.uint32(15))
+    return h
+
+
+def _slot0(coords: jnp.ndarray, capacity: int) -> jnp.ndarray:
+    return (_mix(coords) & jnp.uint32(capacity - 1)).astype(jnp.int32)
+
+
+def build(
+    coords: jnp.ndarray,
+    valid: jnp.ndarray,
+    capacity: int,
+    max_rounds: int = MAX_ROUNDS,
+) -> tuple[HashTable, jnp.ndarray]:
+    """Insert (possibly duplicated) coordinates into a fresh table.
+
+    Args:
+      coords: (N, 4) int32 keys, e.g. [batch, x, y, z].
+      valid: (N,) bool — rows to insert.
+      capacity: static power-of-two table size (should be >= 2x the number
+        of *unique* valid keys for short probe chains).
+      max_rounds: static bound on probe rounds.
+
+    Returns:
+      (table, slot_of): ``table.rows[s]`` holds the row id of the *first*
+      (lowest row id among claimants) occurrence of the key stored at slot
+      ``s``. ``slot_of[i]`` is the slot of row i's key (duplicates share a
+      slot); EMPTY for invalid/unresolved rows.
+    """
+    assert capacity & (capacity - 1) == 0, "capacity must be a power of two"
+    n = coords.shape[0]
+    coords = coords.astype(jnp.int32)
+    h0 = _slot0(coords, capacity)
+    rowid = jnp.arange(n, dtype=jnp.int32)
+    big = jnp.int32(2**30)
+
+    def cond(state):
+        rows, keys, slot_of, pending, probe, rnd = state
+        return jnp.logical_and(jnp.any(pending), rnd < max_rounds)
+
+    def body(state):
+        rows, keys, slot_of, pending, probe, rnd = state
+        slot = (h0 + probe) & (capacity - 1)
+        occupant = rows[slot]
+        is_empty = occupant < 0
+        want = pending & is_empty
+        # Claim empty slots: lowest row id targeting a slot wins.
+        cand_slot = jnp.where(want, slot, capacity)
+        claim = jnp.full((capacity,), big, jnp.int32).at[cand_slot].min(
+            rowid, mode="drop"
+        )
+        won = want & (claim[slot] == rowid)
+        wslot = jnp.where(won, slot, capacity)
+        rows = rows.at[wslot].set(rowid, mode="drop")
+        keys = keys.at[wslot].set(coords, mode="drop")
+        # Resolve: slot now holds our key (we won, or a duplicate/earlier
+        # insertion of the same key occupies it).
+        match = (rows[slot] >= 0) & jnp.all(keys[slot] == coords, axis=-1)
+        resolved = pending & match
+        slot_of = jnp.where(resolved, slot, slot_of)
+        pending = pending & ~match
+        probe = probe + pending.astype(jnp.int32)
+        return rows, keys, slot_of, pending, probe, rnd + 1
+
+    init = (
+        jnp.full((capacity,), EMPTY, jnp.int32),
+        jnp.zeros((capacity, 4), jnp.int32),
+        jnp.full((n,), EMPTY, jnp.int32),
+        valid,
+        jnp.zeros((n,), jnp.int32),
+        jnp.int32(0),
+    )
+    rows, keys, slot_of, _, _, _ = jax.lax.while_loop(cond, body, init)
+    return HashTable(keys=keys, rows=rows), slot_of
+
+
+def lookup(
+    table: HashTable,
+    queries: jnp.ndarray,
+    valid: jnp.ndarray | None = None,
+    max_rounds: int = MAX_ROUNDS,
+) -> jnp.ndarray:
+    """Look up (M, 4) int32 queries; returns (M,) row ids or EMPTY (-1).
+
+    A query terminates at the first empty slot on its probe path (correct
+    for linear probing without deletions).
+    """
+    capacity = table.capacity
+    queries = queries.astype(jnp.int32)
+    m = queries.shape[0]
+    h0 = _slot0(queries, capacity)
+    if valid is None:
+        valid = jnp.ones((m,), bool)
+
+    def cond(state):
+        result, done, probe, rnd = state
+        return jnp.logical_and(jnp.any(~done), rnd < max_rounds)
+
+    def body(state):
+        result, done, probe, rnd = state
+        slot = (h0 + probe) & (capacity - 1)
+        occupant = table.rows[slot]
+        is_empty = occupant < 0
+        match = ~is_empty & jnp.all(table.keys[slot] == queries, axis=-1)
+        result = jnp.where(~done & match, occupant, result)
+        done = done | match | is_empty
+        probe = probe + (~done).astype(jnp.int32)
+        return result, done, probe, rnd + 1
+
+    init = (
+        jnp.full((m,), EMPTY, jnp.int32),
+        ~valid,
+        jnp.zeros((m,), jnp.int32),
+        jnp.int32(0),
+    )
+    result, _, _, _ = jax.lax.while_loop(cond, body, init)
+    return result
+
+
+def next_pow2(x: int) -> int:
+    """Smallest power of two >= x (static helper)."""
+    p = 1
+    while p < x:
+        p *= 2
+    return p

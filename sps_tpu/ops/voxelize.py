@@ -1,0 +1,160 @@
+"""Voxel quantization, deduplication and devoxelization.
+
+TPU-native equivalent of MinkowskiEngine's ``TensorField.sparse()`` (voxel
+dedup + per-voxel feature pooling) and ``SparseTensor.slice(tensor_field)``
+(devoxelize scores back to the original points), used by the reference at
+/root/reference/src/sps/models/models.py:20-30.
+
+Quantization uses **floor** semantics to match ME's
+``TensorField.sparse()``. (The reference's online pruning path instead
+truncates toward zero via ``.int()`` at
+/root/reference/src/sps/datasets/util.py:75 — a scan/map inconsistency for
+negative coordinates that we deliberately do not reproduce; see
+docs/DESIGN.md.)
+
+The time coordinate is NOT part of the spatial key: a 4D (x, y, z, t)
+sparse tensor is represented as a 3D voxel grid whose features carry T
+channel blocks plus a per-(voxel, t) occupancy mask. See
+sps_tpu/ops/sparse_conv.py for why this is the TPU-native layout.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from sps_tpu.ops import hash as vhash
+
+
+class VoxelGrid(NamedTuple):
+    """A batched, fixed-capacity 3D sparse voxel grid with T time slots.
+
+    Attributes:
+      coords: (V, 4) int32 — [batch, x, y, z] integer voxel coordinates (in
+        units of the current tensor stride). Rows >= num_voxels are padding
+        with sentinel coords that never match lookups.
+      occ: (V, T) float32 — 1.0 where (voxel, time-slot) holds at least one
+        point / active site, else 0.0. This encodes exactly which 4D rows
+        exist in the reference's coordinate set.
+      num_voxels: () int32 — number of valid rows (<= V).
+      table: HashTable over `coords` returning *compact* row ids.
+      overflow: () bool — True if unique voxels exceeded capacity V (the
+        extra voxels were dropped; callers should treat results as invalid
+        and re-run with larger capacity).
+    """
+
+    coords: jnp.ndarray
+    occ: jnp.ndarray
+    num_voxels: jnp.ndarray
+    table: vhash.HashTable
+    overflow: jnp.ndarray
+
+
+# Padding rows get coordinates far outside any plausible voxel index so that
+# neighbor lookups for padded rows never alias real voxels.
+PAD_COORD = 1 << 24
+
+
+def quantize(points: jnp.ndarray, voxel_size: float) -> jnp.ndarray:
+    """(N, 3) float points -> (N, 3) int32 voxel coords, floor semantics."""
+    return jnp.floor(points / voxel_size).astype(jnp.int32)
+
+
+def voxelize(
+    coords: jnp.ndarray,
+    batch_idx: jnp.ndarray,
+    t_idx: jnp.ndarray,
+    valid: jnp.ndarray,
+    *,
+    num_time: int,
+    voxel_capacity: int,
+    features: jnp.ndarray | None = None,
+) -> tuple[VoxelGrid, jnp.ndarray, jnp.ndarray]:
+    """Deduplicate integer point coordinates into a VoxelGrid.
+
+    Args:
+      coords: (N, 3) int32 quantized point coordinates.
+      batch_idx: (N,) int32 batch index per point.
+      t_idx: (N,) int32 time slot per point, in [0, num_time).
+      valid: (N,) bool.
+      num_time: static number of time slots T.
+      voxel_capacity: static max number of unique voxels V.
+      features: optional (N, C) per-point features to average-pool per
+        (voxel, t) slot, matching ME's UNWEIGHTED_AVERAGE quantization mode.
+
+    Returns:
+      (grid, point2voxel, pooled):
+        point2voxel: (N,) int32 compact voxel row per point (-1 invalid).
+        pooled: (V, T, C) mean-pooled features (C=1 of ones if features is
+          None — callers typically overwrite with model-specific features).
+    """
+    n = coords.shape[0]
+    key = jnp.concatenate([batch_idx[:, None], coords], axis=-1).astype(jnp.int32)
+    table_cap = vhash.next_pow2(max(2 * n, 16))
+    raw_table, slot_of = vhash.build(key, valid, table_cap)
+
+    # Compact occupied slots into [0, U) in slot order.
+    occupied = raw_table.rows >= 0
+    vox_of_slot = jnp.cumsum(occupied.astype(jnp.int32)) - 1
+    num_voxels = jnp.sum(occupied.astype(jnp.int32))
+    overflow = num_voxels > voxel_capacity
+
+    # Compact coords: scatter each occupied slot's key to its compact row.
+    dest = jnp.where(occupied & (vox_of_slot < voxel_capacity), vox_of_slot, voxel_capacity)
+    coords_c = jnp.full((voxel_capacity, 4), PAD_COORD, jnp.int32).at[dest].set(
+        raw_table.keys, mode="drop"
+    )
+
+    # Rebuild the table with compact row ids (same keys/slots — just remap
+    # the stored row values).
+    rows_c = jnp.where(
+        occupied & (vox_of_slot < voxel_capacity), vox_of_slot, vhash.EMPTY
+    )
+    table = vhash.HashTable(keys=raw_table.keys, rows=rows_c)
+
+    point2voxel = jnp.where(
+        valid & (slot_of >= 0), vox_of_slot[jnp.clip(slot_of, 0)], vhash.EMPTY
+    )
+    point2voxel = jnp.where(point2voxel < voxel_capacity, point2voxel, vhash.EMPTY)
+
+    # Per-(voxel, t) occupancy and mean-pooled features.
+    if features is None:
+        features = jnp.ones((n, 1), jnp.float32)
+    c = features.shape[-1]
+    pv = jnp.where(point2voxel >= 0, point2voxel, voxel_capacity)
+    tcl = jnp.clip(t_idx, 0, num_time - 1)
+    cnt = jnp.zeros((voxel_capacity + 1, num_time), jnp.float32).at[pv, tcl].add(
+        valid.astype(jnp.float32)
+    )
+    sums = jnp.zeros((voxel_capacity + 1, num_time, c), jnp.float32).at[pv, tcl].add(
+        features * valid[:, None].astype(features.dtype)
+    )
+    occ = (cnt[:voxel_capacity] > 0).astype(jnp.float32)
+    pooled = sums[:voxel_capacity] / jnp.maximum(cnt[:voxel_capacity, :, None], 1.0)
+
+    grid = VoxelGrid(
+        coords=coords_c,
+        occ=occ,
+        num_voxels=jnp.minimum(num_voxels, voxel_capacity),
+        table=table,
+        overflow=overflow,
+    )
+    return grid, point2voxel, pooled
+
+
+def devoxelize(
+    values: jnp.ndarray, point2voxel: jnp.ndarray, t_idx: jnp.ndarray
+) -> jnp.ndarray:
+    """Gather per-(voxel, t) values back to points (ME ``.slice()``).
+
+    Args:
+      values: (V, T, C) per-slot values.
+      point2voxel: (N,) compact voxel row per point (-1 -> 0.0 output).
+      t_idx: (N,) time slot per point.
+
+    Returns: (N, C) per-point values.
+    """
+    safe = jnp.clip(point2voxel, 0)
+    out = values[safe, jnp.clip(t_idx, 0, values.shape[1] - 1)]
+    return out * (point2voxel >= 0).astype(values.dtype)[:, None]
