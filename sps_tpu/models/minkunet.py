@@ -1,0 +1,287 @@
+"""MinkUNet14 on the time-packed sparse engine (flax.linen).
+
+Topology parity with the reference's CustomMinkUNet = MinkUNet14 with
+PLANES=(8,16,32,64,64,32,16,8), INIT_DIM=8, LAYERS=(1,)*8, D=4
+(/root/reference/src/sps/models/MinkowskiEngine/customminkunet.py:10-12 and
+minkunet.py:52-219):
+
+  conv0 (5,5,5,1) -> 4x [down(2,2,2,1)s2 + BasicBlock] ->
+  4x [transpose(2,2,2,1)s2 + skip-concat + BasicBlock] -> 1x1 head.
+
+BasicBlock (ME resnet_block; re-declared verbatim by MapMOS at
+/root/reference/c_ws/src/mapmos/scripts/minkunet.py:31-85): two 3^4 convs
+with BN, identity or (1x1 conv + BN) shortcut. The same class serves the
+MOS4D (out=3) and MapMOS (out=1, feature=normalized time index) heads.
+
+Module/parameter names deliberately mirror the reference attribute names
+(conv0p1s1, bn0, block1.conv1, ...) so the torch-checkpoint converter in
+sps_tpu/convert.py is a mechanical key map.
+
+All convs run on neighbor tables from sps_tpu.ops.topology, built once per
+forward and shared across layers at the same stride.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from sps_tpu.ops import sparse_conv as sc
+
+
+@dataclasses.dataclass(frozen=True)
+class MinkUNetConfig:
+    in_channels: int = 1
+    out_channels: int = 1
+    init_dim: int = 8
+    planes: tuple = (8, 16, 32, 64, 64, 32, 16, 8)
+    layers: tuple = (1, 1, 1, 1, 1, 1, 1, 1)
+    num_time: int = 2
+    first_kernel: int = 5
+    block_kernel: int = 3
+    # Compute dtype for gathers/matmuls; params stay float32.
+    dtype: jnp.dtype = jnp.float32
+
+
+def _kaiming(key, shape, dtype=jnp.float32):
+    """He-normal, fan_out with respect to (K*KT, Cin, Cout) conv kernels
+    (matches the intent of the reference's kaiming_normal_(mode='fan_out'),
+    resnet.py:87-94)."""
+    import jax
+
+    k, kt, _, cout = shape
+    std = (2.0 / (k * kt * cout)) ** 0.5
+    return jax.random.normal(key, shape, dtype) * std
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm over real (voxel, t) slots only (ME MinkowskiBatchNorm).
+
+    Running stats follow torch conventions (momentum 0.1 on the *new*
+    batch, unbiased variance in the running average) so converted
+    checkpoints evaluate identically.
+    """
+
+    features: int
+    momentum: float = 0.1
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, feats: jnp.ndarray, occ: jnp.ndarray, train: bool):
+        c = self.features
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((c,)))
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((c,)))
+
+        if train:
+            mean, var = sc.masked_batch_stats(feats, occ)
+            cnt = jnp.maximum(jnp.sum(occ), 2.0)
+            unbiased = var * cnt / (cnt - 1.0)
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = (1 - m) * ra_mean.value + m * mean
+                ra_var.value = (1 - m) * ra_var.value + m * unbiased
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        v, tc = feats.shape
+        t = occ.shape[1]
+        x = feats.reshape(v, t, c)
+        inv = jnp.reciprocal(jnp.sqrt(var + self.eps))
+        x = (x - mean) * (inv * scale) + bias
+        return sc.mask_slots(x.reshape(v, tc), occ)
+
+
+class SpConv(nn.Module):
+    """Stride-1 sparse conv over a prebuilt neighbor table."""
+
+    cin: int
+    cout: int
+    ksize: int
+    time_kernel: int
+    num_time: int
+    use_bias: bool = False  # ME MinkowskiConvolution default bias=False
+
+    @nn.compact
+    def __call__(self, feats, nbr, occ):
+        k = self.ksize**3
+        w = self.param("kernel", _kaiming, (k, self.time_kernel, self.cin, self.cout))
+        wp = sc.pack_time_toeplitz(w.astype(feats.dtype), self.num_time)
+        if self.ksize == 1:
+            bias = (
+                self.param("bias", nn.initializers.zeros, (self.cout,))
+                if self.use_bias
+                else None
+            )
+            return sc.sparse_conv_1x1(feats, wp[0], occ, bias)
+        return sc.sparse_conv(feats, nbr, wp, occ)
+
+
+class SpConvDown(nn.Module):
+    """Kernel (2,2,2,1), stride (2,2,2,1) conv (minkunet.py:64-70)."""
+
+    cin: int
+    cout: int
+    num_time: int
+
+    @nn.compact
+    def __call__(self, feats, child, occ_coarse):
+        w = self.param("kernel", _kaiming, (8, 1, self.cin, self.cout))
+        wp = sc.pack_time_toeplitz(w.astype(feats.dtype), self.num_time)
+        return sc.sparse_conv_down(feats, child, wp, occ_coarse)
+
+
+class SpConvUp(nn.Module):
+    """Transpose conv (2,2,2,1) s2 (minkunet.py:107-147)."""
+
+    cin: int
+    cout: int
+    num_time: int
+
+    @nn.compact
+    def __call__(self, feats, parent, parity, occ_fine):
+        w = self.param("kernel", _kaiming, (8, 1, self.cin, self.cout))
+        wp = sc.pack_time_toeplitz(w.astype(feats.dtype), self.num_time)
+        return sc.sparse_conv_up(feats, parent, parity, wp, occ_fine)
+
+
+class BasicBlock(nn.Module):
+    """Residual unit: conv3-bn-relu-conv3-bn (+1x1 shortcut) -> relu."""
+
+    cin: int
+    planes: int
+    num_time: int
+    block_kernel: int = 3
+
+    @nn.compact
+    def __call__(self, feats, nbr, occ, train: bool):
+        t = self.num_time
+        out = SpConv(self.cin, self.planes, self.block_kernel, 3, t, name="conv1")(
+            feats, nbr, occ
+        )
+        out = MaskedBatchNorm(self.planes, name="norm1")(out, occ, train)
+        out = sc.mask_slots(nn.relu(out), occ)
+        out = SpConv(self.planes, self.planes, self.block_kernel, 3, t, name="conv2")(
+            out, nbr, occ
+        )
+        out = MaskedBatchNorm(self.planes, name="norm2")(out, occ, train)
+        if self.cin != self.planes:
+            res = SpConv(self.cin, self.planes, 1, 1, t, name="downsample_conv")(
+                feats, None, occ
+            )
+            res = MaskedBatchNorm(self.planes, name="downsample_norm")(res, occ, train)
+        else:
+            res = feats
+        return sc.mask_slots(nn.relu(out + res), occ)
+
+
+def _blocks(name, n, cin, planes, num_time, block_kernel=3):
+    mods = []
+    for i in range(n):
+        mods.append(
+            BasicBlock(
+                cin if i == 0 else planes,
+                planes,
+                num_time,
+                block_kernel,
+                name=f"{name}_{i}",
+            )
+        )
+    return mods
+
+
+class MinkUNet(nn.Module):
+    """The UNet body. Inputs are (V0, T*in_channels) features plus the
+    prebuilt level pyramid (sps_tpu.ops.topology.build_levels, 5 levels)."""
+
+    cfg: MinkUNetConfig
+
+    @nn.compact
+    def __call__(self, feats: jnp.ndarray, levels: Sequence, train: bool = False):
+        cfg = self.cfg
+        t = cfg.num_time
+        p = cfg.planes
+        d0 = cfg.init_dim
+        l0, l1, l2, l3, l4 = levels
+        occ = [lv.grid.occ for lv in levels]
+
+        def relu(x, o):
+            return sc.mask_slots(nn.relu(x), o)
+
+        # Stem (minkunet.py:55-62): kernel (5,5,5,1).
+        x = SpConv(cfg.in_channels, d0, cfg.first_kernel, 1, t, name="conv0p1s1")(
+            feats, l0.nbr[cfg.first_kernel], occ[0]
+        )
+        x = MaskedBatchNorm(d0, name="bn0")(x, occ[0], train)
+        out_p1 = relu(x, occ[0])
+
+        # Encoder.
+        def down(x, name, cin, cout, fine, coarse, bnname):
+            y = SpConvDown(cin, cout, t, name=name)(x, coarse.child, coarse.grid.occ)
+            y = MaskedBatchNorm(cout, name=bnname)(y, coarse.grid.occ, train)
+            return relu(y, coarse.grid.occ)
+
+        x = down(out_p1, "conv1p1s2", d0, d0, l0, l1, "bn1")
+        for b in _blocks("block1", cfg.layers[0], d0, p[0], t, cfg.block_kernel):
+            x = b(x, l1.nbr[cfg.block_kernel], occ[1], train)
+        out_b1p2 = x
+
+        x = down(x, "conv2p2s2", p[0], p[0], l1, l2, "bn2")
+        for b in _blocks("block2", cfg.layers[1], p[0], p[1], t, cfg.block_kernel):
+            x = b(x, l2.nbr[cfg.block_kernel], occ[2], train)
+        out_b2p4 = x
+
+        x = down(x, "conv3p4s2", p[1], p[1], l2, l3, "bn3")
+        for b in _blocks("block3", cfg.layers[2], p[1], p[2], t, cfg.block_kernel):
+            x = b(x, l3.nbr[cfg.block_kernel], occ[3], train)
+        out_b3p8 = x
+
+        x = down(x, "conv4p8s2", p[2], p[2], l3, l4, "bn4")
+        for b in _blocks("block4", cfg.layers[3], p[2], p[3], t, cfg.block_kernel):
+            x = b(x, l4.nbr[cfg.block_kernel], occ[4], train)
+
+        # Decoder (minkunet.py:107-158,188-217).
+        def up(x, name, cin, cout, fine, bnname):
+            y = SpConvUp(cin, cout, t, name=name)(
+                x, fine.parent, fine.parity, fine.grid.occ
+            )
+            y = MaskedBatchNorm(cout, name=bnname)(y, fine.grid.occ, train)
+            return relu(y, fine.grid.occ)
+
+        def cat(a, b, o):
+            # ME.cat concatenates features of the same coordinate set
+            # (minkunet.py:192-216); slots are (V, T*C) so concat per T.
+            v = a.shape[0]
+            ca = a.reshape(v, t, -1)
+            cb = b.reshape(v, t, -1)
+            return jnp.concatenate([ca, cb], axis=-1).reshape(v, -1)
+
+        x = up(x, "convtr4p16s2", p[3], p[4], l3, "bntr4")
+        x = cat(x, out_b3p8, occ[3])
+        for b in _blocks("block5", cfg.layers[4], p[4] + p[2], p[4], t, cfg.block_kernel):
+            x = b(x, l3.nbr[cfg.block_kernel], occ[3], train)
+
+        x = up(x, "convtr5p8s2", p[4], p[5], l2, "bntr5")
+        x = cat(x, out_b2p4, occ[2])
+        for b in _blocks("block6", cfg.layers[5], p[5] + p[1], p[5], t, cfg.block_kernel):
+            x = b(x, l2.nbr[cfg.block_kernel], occ[2], train)
+
+        x = up(x, "convtr6p4s2", p[5], p[6], l1, "bntr6")
+        x = cat(x, out_b1p2, occ[1])
+        for b in _blocks("block7", cfg.layers[6], p[6] + p[0], p[6], t, cfg.block_kernel):
+            x = b(x, l1.nbr[cfg.block_kernel], occ[1], train)
+
+        x = up(x, "convtr7p2s2", p[6], p[7], l0, "bntr7")
+        x = cat(x, out_p1, occ[0])
+        for b in _blocks("block8", cfg.layers[7], p[7] + d0, p[7], t, cfg.block_kernel):
+            x = b(x, l0.nbr[cfg.block_kernel], occ[0], train)
+
+        # Head: 1x1 conv with bias (minkunet.py:152-158).
+        x = SpConv(p[7], cfg.out_channels, 1, 1, t, use_bias=True, name="final")(
+            x, None, occ[0]
+        )
+        return x

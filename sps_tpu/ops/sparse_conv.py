@@ -88,9 +88,10 @@ def sparse_conv(
       unroll: unroll the K loop into the HLO instead of lax.scan (faster
         for small K, bigger program).
 
-    Returns: (V, T*Cout).
+    Returns: (V_out, T*Cout) where V_out = nbr.shape[1] (== V for stride-1
+    convs; the coarse row count for strided convs).
     """
-    v = feats.shape[0]
+    v = nbr.shape[1]
     t = occ.shape[1]
     cout = w_packed.shape[-1] // t
 

@@ -1,0 +1,186 @@
+"""Full-network parity: flax MinkUNet vs. numpy dict-based 4D reference.
+
+Composes the brute-force ops in tests/sparse_ref.py into the reference's
+MinkUNet14 topology (minkunet.py:161-219) with the *same weights* as the
+flax model, and checks per-(voxel, t) agreement end to end — including the
+SPSModel point->score path.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from sps_tpu.models.minkunet import MinkUNetConfig
+from sps_tpu.models.spsnet import SPSConfig, SPSModel, build_pyramid
+from sps_tpu.structs import Capacities, pad_point_batch
+from sps_tpu.ops import voxelize as vox
+from tests import sparse_ref as ref
+
+T = 2
+CAPS = Capacities(points=2048, voxels=(1024, 512, 512, 256, 128))
+CFG = SPSConfig(
+    voxel_size=0.25,
+    caps=CAPS,
+    unet=MinkUNetConfig(
+        in_channels=1,
+        out_channels=1,
+        init_dim=4,
+        planes=(4, 8, 8, 8, 8, 8, 8, 4),
+        num_time=T,
+    ),
+)
+
+
+def _np(x):
+    return np.asarray(x)
+
+
+def _bn_ref(d, p, bs):
+    return ref.batchnorm4d(
+        d, _np(p["scale"]), _np(p["bias"]), mean=_np(bs["mean"]), var=_np(bs["var"])
+    )
+
+
+def _conv_ref(d, p, size, kt):
+    return ref.conv4d(d, _np(p["kernel"]), size, kt)
+
+
+def _block_ref(d, p, bs, cin, planes):
+    out = _conv_ref(d, p["conv1"], 3, 3)
+    out = _bn_ref(out, p["norm1"], bs["norm1"])
+    out = ref.relu4d(out)
+    out = _conv_ref(out, p["conv2"], 3, 3)
+    out = _bn_ref(out, p["norm2"], bs["norm2"])
+    if cin != planes:
+        res = {k: v @ _np(p["downsample_conv"]["kernel"])[0, 0] for k, v in d.items()}
+        res = _bn_ref(res, p["downsample_norm"], bs["downsample_norm"])
+    else:
+        res = d
+    return ref.relu4d(ref.add4d(out, res))
+
+
+def ref_forward(variables, d_in, cfg):
+    p = variables["params"]["MinkUNet"]
+    bs = variables["batch_stats"]["MinkUNet"]
+    u = cfg.unet
+    pl = u.planes
+    d0i = u.init_dim
+
+    def down_ref(d, name, bnname):
+        out = ref.conv4d_down(d, _np(p[name]["kernel"])[:, 0])
+        out = _bn_ref(out, p[bnname], bs[bnname])
+        return ref.relu4d(out)
+
+    def up_ref(d, name, bnname, out_coords):
+        out = ref.conv4d_up(d, out_coords, _np(p[name]["kernel"])[:, 0])
+        out = _bn_ref(out, p[bnname], bs[bnname])
+        return ref.relu4d(out)
+
+    x = _conv_ref(d_in, p["conv0p1s1"], u.first_kernel, 1)
+    x = _bn_ref(x, p["bn0"], bs["bn0"])
+    out_p1 = ref.relu4d(x)
+
+    x = down_ref(out_p1, "conv1p1s2", "bn1")
+    x = _block_ref(x, p["block1_0"], bs["block1_0"], d0i, pl[0])
+    out_b1 = x
+    x = down_ref(x, "conv2p2s2", "bn2")
+    x = _block_ref(x, p["block2_0"], bs["block2_0"], pl[0], pl[1])
+    out_b2 = x
+    x = down_ref(x, "conv3p4s2", "bn3")
+    x = _block_ref(x, p["block3_0"], bs["block3_0"], pl[1], pl[2])
+    out_b3 = x
+    x = down_ref(x, "conv4p8s2", "bn4")
+    x = _block_ref(x, p["block4_0"], bs["block4_0"], pl[2], pl[3])
+
+    x = up_ref(x, "convtr4p16s2", "bntr4", set(out_b3.keys()))
+    x = ref.cat4d(x, out_b3)
+    x = _block_ref(x, p["block5_0"], bs["block5_0"], pl[4] + pl[2], pl[4])
+    x = up_ref(x, "convtr5p8s2", "bntr5", set(out_b2.keys()))
+    x = ref.cat4d(x, out_b2)
+    x = _block_ref(x, p["block6_0"], bs["block6_0"], pl[5] + pl[1], pl[5])
+    x = up_ref(x, "convtr6p4s2", "bntr6", set(out_b1.keys()))
+    x = ref.cat4d(x, out_b1)
+    x = _block_ref(x, p["block7_0"], bs["block7_0"], pl[6] + pl[0], pl[6])
+    x = up_ref(x, "convtr7p2s2", "bntr7", set(out_p1.keys()))
+    x = ref.cat4d(x, out_p1)
+    x = _block_ref(x, p["block8_0"], bs["block8_0"], pl[7] + d0i, pl[7])
+
+    wf = _np(p["final"]["kernel"])[0, 0]
+    bf = _np(p["final"]["bias"])
+    return {k: v @ wf + bf for k, v in x.items()}
+
+
+def _batch(rng, n=400):
+    xyz = rng.uniform(-3, 3, size=(n, 3)).astype(np.float32)
+    batch = rng.integers(0, 2, size=n)
+    t = rng.integers(0, T, size=n)
+    label = rng.uniform(0, 1, size=n).astype(np.float32)
+    return pad_point_batch(xyz, batch, t, label, CAPS.points)
+
+
+def test_spsmodel_matches_dense_reference():
+    rng = np.random.default_rng(0)
+    pb = _batch(rng)
+    model = SPSModel(CFG)
+    variables = model.init(jax.random.PRNGKey(0), pb)
+    # Randomize running BN stats so eval-mode normalization is exercised.
+    variables = jax.tree.map(lambda x: x, variables)
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(variables["batch_stats"])
+    k = jax.random.PRNGKey(1)
+    newbs = {}
+    for key, val in flat.items():
+        k, sk = jax.random.split(k)
+        if key[-1] == "mean":
+            newbs[key] = 0.3 * jax.random.normal(sk, val.shape)
+        else:
+            newbs[key] = 0.5 + jax.random.uniform(sk, val.shape)
+    variables = dict(variables, batch_stats=flax.traverse_util.unflatten_dict(newbs))
+
+    scores, aux = jax.jit(lambda v, b: model.apply(v, b))(variables, pb)
+    assert not bool(np.asarray(aux["overflow"]).any())
+
+    # Build the reference input dict (constant 0.5 feature).
+    levels, p2v, _ = build_pyramid(pb, CFG)
+    grid = levels[0].grid
+    feats0 = 0.5 * np.repeat(_np(grid.occ), CFG.unet.in_channels, axis=-1)
+    d_in = ref.grid_to_dict(_np(grid.coords), _np(grid.occ), feats0, grid.num_voxels)
+
+    d_out = ref_forward(variables, d_in, CFG)
+
+    # Compare per-point devoxelized scores.
+    coords = _np(vox.quantize(pb.xyz, CFG.voxel_size))
+    want = np.zeros(len(coords))
+    valid = _np(pb.valid)
+    for i in range(len(coords)):
+        if valid[i]:
+            key = (int(pb.batch[i]), *coords[i], int(pb.t[i]))
+            want[i] = 1.0 / (1.0 + np.exp(-d_out[key][0]))
+    got = _np(scores)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-4)
+
+
+def test_train_mode_updates_batch_stats():
+    rng = np.random.default_rng(1)
+    pb = _batch(rng, 200)
+    model = SPSModel(CFG)
+    variables = model.init(jax.random.PRNGKey(0), pb)
+    (scores, aux), mutated = model.apply(
+        variables, pb, train=True, mutable=["batch_stats"]
+    )
+    before = variables["batch_stats"]["MinkUNet"]["bn0"]["mean"]
+    after = mutated["batch_stats"]["MinkUNet"]["bn0"]["mean"]
+    assert not np.allclose(np.asarray(before), np.asarray(after))
+    assert np.isfinite(np.asarray(scores)).all()
+
+
+def test_padded_points_score_zero():
+    rng = np.random.default_rng(2)
+    pb = _batch(rng, 100)
+    model = SPSModel(CFG)
+    variables = model.init(jax.random.PRNGKey(0), pb)
+    scores, _ = model.apply(variables, pb)
+    s = np.asarray(scores)
+    assert (s[~np.asarray(pb.valid)] == 0).all()
+    assert (s[np.asarray(pb.valid)] > 0).all()
