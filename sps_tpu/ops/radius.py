@@ -1,0 +1,130 @@
+"""On-device exact radius join (scan -> map submap extraction).
+
+TPU-native replacement for the reference's host-side scipy cKDTree
+query_ball_tree at /root/reference/src/sps/datasets/blt_dataset.py:258-271:
+"which map points lie within r of at least one scan point". Instead of a
+KD-tree we build a hash grid over scan-point cells (cell edge = r) with
+fixed-capacity per-cell candidate lists, probe the 27-neighborhood for each
+map point, and do exact distance tests — same result set as the kd-tree
+query (deduplicated; the reference concatenates duplicate indices, which
+only duplicates rows that voxelize identically downstream).
+
+All shapes static: capacities for cells and per-cell occupancy are compile
+time constants; overflow beyond max_per_cell drops candidates (reported).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from sps_tpu.ops import hash as vhash
+from sps_tpu.ops import voxelize as vox
+
+
+def _cells(points: jnp.ndarray, r: float) -> jnp.ndarray:
+    return jnp.floor(points / r).astype(jnp.int32)
+
+
+def radius_join(
+    scan: jnp.ndarray,
+    scan_valid: jnp.ndarray,
+    queries: jnp.ndarray,
+    query_valid: jnp.ndarray,
+    r: float,
+    *,
+    cell_capacity: int,
+    max_per_cell: int = 8,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """For each query point: is any valid scan point within distance r?
+
+    Args:
+      scan: (N, 3) float32.
+      queries: (M, 3) float32 (e.g. the map).
+      cell_capacity: static max unique scan cells.
+      max_per_cell: static per-cell candidate list length.
+
+    Returns:
+      (mask, dropped): (M,) bool and the () int32 count of scan points that
+      exceeded their cell list (possible false negatives if > 0).
+    """
+    n = scan.shape[0]
+    cells = _cells(scan, r)
+    grid, p2c, _ = vox.voxelize(
+        cells,
+        jnp.zeros((n,), jnp.int32),
+        jnp.zeros((n,), jnp.int32),
+        scan_valid,
+        num_time=1,
+        voxel_capacity=cell_capacity,
+    )
+    # Per-cell candidate lists. Rank points within their cell via a scatter
+    # "ticket" loop-free trick: sort by cell id, rank = position - first
+    # position of that cell id in the sorted order.
+    order = jnp.argsort(jnp.where(scan_valid, p2c, cell_capacity))
+    sorted_cell = jnp.where(scan_valid, p2c, cell_capacity)[order]
+    first_pos = (
+        jnp.full((cell_capacity + 1,), n, jnp.int32)
+        .at[sorted_cell]
+        .min(jnp.arange(n, dtype=jnp.int32))
+    )
+    rank = jnp.arange(n, dtype=jnp.int32) - first_pos[sorted_cell]
+    # Scatter point rows into (cell, rank) slots.
+    ok = (sorted_cell < cell_capacity) & (rank < max_per_cell)
+    dest_c = jnp.where(ok, sorted_cell, cell_capacity)
+    dest_r = jnp.where(ok, rank, 0)
+    lists = (
+        jnp.full((cell_capacity + 1, max_per_cell), -1, jnp.int32)
+        .at[dest_c, dest_r]
+        .set(order.astype(jnp.int32), mode="drop")
+    )[:cell_capacity]
+    dropped = jnp.sum((rank >= max_per_cell) & (sorted_cell < cell_capacity))
+
+    # Probe the 27-neighborhood of each query cell.
+    qcells = _cells(queries, r)
+    m = queries.shape[0]
+    hit = jnp.zeros((m,), bool)
+    scan_safe = jnp.where(scan_valid[:, None], scan, jnp.inf)
+    r2 = jnp.float32(r * r)
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dz in (-1, 0, 1):
+                q = jnp.concatenate(
+                    [
+                        jnp.zeros((m, 1), jnp.int32),
+                        qcells + jnp.asarray([dx, dy, dz], jnp.int32),
+                    ],
+                    axis=-1,
+                )
+                cell_row = vhash.lookup(grid.table, q, query_valid)
+                cand = jnp.where(
+                    cell_row[:, None] >= 0,
+                    lists[jnp.clip(cell_row, 0)],
+                    -1,
+                )  # (M, max_per_cell)
+                pts = scan_safe[jnp.clip(cand, 0)]  # (M, P, 3)
+                d2 = jnp.sum((pts - queries[:, None, :]) ** 2, axis=-1)
+                near = jnp.any((d2 <= r2) & (cand >= 0), axis=-1)
+                hit = hit | near
+    return hit & query_valid, dropped
+
+
+def compact_mask(
+    mask: jnp.ndarray, capacity: int
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Compact True positions of (M,) mask into (capacity,) indices.
+
+    Returns (indices, valid, overflow_count). Order-preserving; extras
+    beyond capacity are dropped and counted.
+    """
+    m = mask.shape[0]
+    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    total = jnp.sum(mask.astype(jnp.int32))
+    dest = jnp.where(mask & (pos < capacity), pos, capacity)
+    idx = (
+        jnp.zeros((capacity + 1,), jnp.int32)
+        .at[dest]
+        .set(jnp.arange(m, dtype=jnp.int32), mode="drop")
+    )[:capacity]
+    valid = jnp.arange(capacity) < jnp.minimum(total, capacity)
+    overflow = jnp.maximum(total - capacity, 0)
+    return idx, valid, overflow
