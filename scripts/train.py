@@ -1,0 +1,31 @@
+#!/usr/bin/env python3
+"""Train the SPS stability model (CLI-compatible with the reference's
+scripts/train.py: `python scripts/train.py -c config/config.yaml`)."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import click
+
+
+@click.command()
+@click.option("--config", "-c", type=str, default="./config/config.yaml",
+              help="Path to the config file (.yaml)")
+@click.option("--data", type=str, default=None, help="Dataset root (defaults to $DATA)")
+@click.option("--log-dir", type=str, default="./tb_logs")
+@click.option("--ckpt-dir", type=str, default="./checkpoints")
+@click.option("--max-steps", type=int, default=None, help="Stop early (smoke runs)")
+@click.option("--seed", type=int, default=0)
+def main(config, data, log_dir, ckpt_dir, max_steps, seed):
+    from sps_tpu import config as cfg_mod
+    from sps_tpu import train
+
+    cfg = cfg_mod.load(config, data_root=data)
+    best = train.fit(cfg, log_dir=log_dir, ckpt_dir=ckpt_dir, max_steps=max_steps, seed=seed)
+    print(f"best checkpoint: {best}")
+
+
+if __name__ == "__main__":
+    main()

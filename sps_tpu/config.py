@@ -1,0 +1,122 @@
+"""Typed configuration, loadable from the reference's YAML schema.
+
+One config serves both batch (train/predict) and streaming paths —
+replacing the reference's three mechanisms (YAML+click, rospy params,
+env vars; see /root/reference/config/config.yaml and SURVEY.md §5). The
+YAML keys are a superset of the reference's so existing config files work
+unchanged; TPU-specific static capacities live under an optional `TPU:`
+section.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import yaml
+
+from sps_tpu.models.minkunet import MinkUNetConfig
+from sps_tpu.models.spsnet import SPSConfig
+from sps_tpu.structs import Capacities
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    root: str = ""
+    train: tuple = ()
+    val: tuple = ()
+    test: tuple = ()
+    map_file: str = "base_map.asc.npy"
+    shuffle: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    max_epoch: int = 80
+    lr: float = 7e-5
+    lr_epoch: int = 1
+    lr_decay: float = 0.99
+    weight_decay: float = 1e-4
+    batch_size: int = 2
+    augmentation: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class TPUConfig:
+    """Static shape budget (per sample unless noted)."""
+
+    scan_points: int = 1 << 17  # padded scan size
+    submap_points: int = 1 << 17  # padded submap size
+    cell_capacity: int = 1 << 18  # radius-join hash cells
+    voxels: tuple = (1 << 18, 1 << 16, 1 << 14, 1 << 12, 1 << 10)  # whole batch
+    max_per_cell: int = 8
+    bf16: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    experiment_id: str = "BLT"
+    data: DataConfig = DataConfig()
+    train: TrainConfig = TrainConfig()
+    voxel_size: float = 0.1
+    threshold: float = 0.84
+    tpu: TPUConfig = TPUConfig()
+
+    @property
+    def point_capacity(self) -> int:
+        return self.train.batch_size * (
+            self.tpu.scan_points + self.tpu.submap_points
+        )
+
+    def sps_config(self, batch_size: int | None = None) -> SPSConfig:
+        bs = batch_size if batch_size is not None else self.train.batch_size
+        caps = Capacities(
+            points=bs * (self.tpu.scan_points + self.tpu.submap_points),
+            voxels=self.tpu.voxels,
+        )
+        return SPSConfig(
+            voxel_size=self.voxel_size,
+            threshold=self.threshold,
+            caps=caps,
+            unet=MinkUNetConfig(in_channels=1, out_channels=1, num_time=2),
+        )
+
+
+def load(path: str, data_root: str | None = None) -> Config:
+    """Load a reference-schema YAML config file."""
+    with open(path) as f:
+        y = yaml.safe_load(f)
+    split = y.get("DATA", {}).get("SPLIT", {})
+    tr = y.get("TRAIN", {})
+    tpu = y.get("TPU", {})
+    root = data_root or os.environ.get("DATA", "")
+    return Config(
+        experiment_id=y.get("EXPERIMENT", {}).get("ID", "BLT"),
+        data=DataConfig(
+            root=root,
+            train=tuple(split.get("TRAIN", []) or []),
+            val=tuple(split.get("VAL", []) or []),
+            test=tuple(split.get("TEST", []) or []),
+            map_file=tr.get("MAP", "base_map.asc.npy"),
+            shuffle=bool(y.get("DATA", {}).get("SHUFFLE", True)),
+        ),
+        train=TrainConfig(
+            max_epoch=int(tr.get("MAX_EPOCH", 80)),
+            lr=float(tr.get("LR", 7e-5)),
+            lr_epoch=int(tr.get("LR_EPOCH", 1)),
+            lr_decay=float(tr.get("LR_DECAY", 0.99)),
+            weight_decay=float(tr.get("WEIGHT_DECAY", 1e-4)),
+            batch_size=int(tr.get("BATCH_SIZE", 2)),
+            augmentation=bool(tr.get("AUGMENTATION", True)),
+        ),
+        voxel_size=float(y.get("MODEL", {}).get("VOXEL_SIZE", 0.1)),
+        threshold=float(y.get("FILTER", {}).get("THRESHOLD", 0.84)),
+        tpu=TPUConfig(
+            scan_points=int(tpu.get("SCAN_POINTS", TPUConfig.scan_points)),
+            submap_points=int(tpu.get("SUBMAP_POINTS", TPUConfig.submap_points)),
+            cell_capacity=int(tpu.get("CELL_CAPACITY", TPUConfig.cell_capacity)),
+            voxels=tuple(tpu.get("VOXELS", TPUConfig.voxels)),
+            max_per_cell=int(tpu.get("MAX_PER_CELL", TPUConfig.max_per_cell)),
+            bf16=bool(tpu.get("BF16", False)),
+        ),
+    )

@@ -1,0 +1,194 @@
+"""Training loop: optax Adam + stepped exponential LR decay, masked MSE.
+
+Equivalent capability to the reference's Lightning stack
+(/root/reference/scripts/train.py:37-66 + models.py:62-82,154-160):
+  * Adam(lr, weight_decay) with StepLR(gamma per LR_EPOCH epochs) — the
+    optax chain add_decayed_weights -> adam matches torch Adam's coupled
+    L2, and a staircase exponential_decay matches StepLR.
+  * loss = MSE over scan points only (models.py:65-67), R2 logged.
+  * checkpoints: best-val + last (train.py:40-45) via orbax.
+  * TensorBoard logging when tensorboardX is available, JSONL always.
+
+The whole step — submap join, augmentation, forward, backward, update —
+is one jitted function; the host only feeds padded scan arrays.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax.training import train_state
+
+from sps_tpu import pipeline
+from sps_tpu.config import Config
+from sps_tpu.data.blt import BLTDataModule
+from sps_tpu.models.spsnet import SPSModel
+from sps_tpu.structs import PointBatch
+from sps_tpu.utils import checkpoint as ckpt
+from sps_tpu.utils.metrics import masked_mse, masked_r2
+
+
+class TrainState(train_state.TrainState):
+    batch_stats: Any = None
+
+
+def _dummy_point_batch(capacity: int) -> PointBatch:
+    return PointBatch(
+        xyz=jnp.zeros((capacity, 3), jnp.float32),
+        batch=jnp.zeros((capacity,), jnp.int32),
+        t=jnp.zeros((capacity,), jnp.int32),
+        label=jnp.zeros((capacity,), jnp.float32),
+        valid=jnp.zeros((capacity,), bool).at[:8].set(True),
+    )
+
+
+def create_state(cfg: Config, rng: jax.Array, steps_per_epoch: int) -> TrainState:
+    model = SPSModel(cfg.sps_config())
+    variables = model.init(rng, _dummy_point_batch(cfg.point_capacity))
+    schedule = optax.exponential_decay(
+        init_value=cfg.train.lr,
+        transition_steps=max(1, steps_per_epoch * cfg.train.lr_epoch),
+        decay_rate=cfg.train.lr_decay,
+        staircase=True,
+    )
+    tx = optax.chain(
+        optax.add_decayed_weights(cfg.train.weight_decay),
+        optax.adam(schedule),
+    )
+    return TrainState.create(
+        apply_fn=model.apply,
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        tx=tx,
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg", "augment"), donate_argnums=(0,))
+def train_step(state: TrainState, batch, map_points, rng, *, cfg: Config, augment: bool):
+    pb, aux = pipeline.assemble_batch(
+        batch["xyz"],
+        batch["label"],
+        batch["valid"],
+        map_points,
+        cfg,
+        rng if augment else None,
+    )
+
+    def loss_fn(params):
+        (scores, maux), mut = state.apply_fn(
+            {"params": params, "batch_stats": state.batch_stats},
+            pb,
+            train=True,
+            mutable=["batch_stats"],
+        )
+        scan_mask = pb.valid & (pb.t == pipeline.SCAN_T)
+        loss = masked_mse(scores, pb.label, scan_mask)
+        return loss, (mut, scores, scan_mask, maux)
+
+    (loss, (mut, scores, scan_mask, maux)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True
+    )(state.params)
+    state = state.apply_gradients(grads=grads)
+    state = state.replace(batch_stats=mut["batch_stats"])
+    metrics = {
+        "loss": loss,
+        "r2": masked_r2(scores, pb.label, scan_mask),
+        "overflow": jnp.any(maux["overflow"]),
+        "submap_overflow": aux["submap_overflow"],
+    }
+    return state, metrics
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def eval_step(state: TrainState, batch, map_points, *, cfg: Config):
+    pb, _ = pipeline.assemble_batch(
+        batch["xyz"], batch["label"], batch["valid"], map_points, cfg, None
+    )
+    scores, _ = state.apply_fn(
+        {"params": state.params, "batch_stats": state.batch_stats}, pb, train=False
+    )
+    scan_mask = pb.valid & (pb.t == pipeline.SCAN_T)
+    return {
+        "loss": masked_mse(scores, pb.label, scan_mask),
+        "r2": masked_r2(scores, pb.label, scan_mask),
+    }
+
+
+class JSONLLogger:
+    def __init__(self, log_dir: str, name: str):
+        os.makedirs(log_dir, exist_ok=True)
+        self.path = os.path.join(log_dir, f"{name}.jsonl")
+        self.tb = None
+        try:
+            from tensorboardX import SummaryWriter
+
+            self.tb = SummaryWriter(os.path.join(log_dir, name))
+        except Exception:
+            pass
+
+    def log(self, step: int, **kv):
+        with open(self.path, "a") as f:
+            f.write(json.dumps({"step": step, **kv}) + "\n")
+        if self.tb is not None:
+            for k, v in kv.items():
+                if isinstance(v, (int, float)):
+                    self.tb.add_scalar(k, v, step)
+
+
+def fit(cfg: Config, log_dir: str = "./tb_logs", ckpt_dir: str = "./checkpoints",
+        max_steps: int | None = None, seed: int = 0) -> str:
+    """Train per config; returns the best checkpoint path."""
+    data = BLTDataModule(cfg)
+    map_points = jnp.asarray(data.map_points)
+    steps_per_epoch = max(1, len(data.train) // cfg.train.batch_size)
+    rng = jax.random.PRNGKey(seed)
+    state = create_state(cfg, rng, steps_per_epoch)
+    logger = JSONLLogger(log_dir, cfg.experiment_id)
+
+    best_val = float("inf")
+    best_path = os.path.join(os.path.abspath(ckpt_dir), "best")
+    last_path = os.path.join(os.path.abspath(ckpt_dir), "last")
+    step = 0
+    t0 = time.time()
+    for epoch in range(cfg.train.max_epoch):
+        for batch in data.batches(
+            data.train, cfg.train.batch_size, cfg.data.shuffle, seed=seed + epoch
+        ):
+            rng, sk = jax.random.split(rng)
+            hb = {k: jnp.asarray(v) for k, v in batch.items() if k != "indices"}
+            state, m = train_step(
+                state, hb, map_points, sk, cfg=cfg, augment=cfg.train.augmentation
+            )
+            step += 1
+            if step % 10 == 1 or max_steps:
+                mm = {k: float(v) for k, v in m.items()}
+                logger.log(step, epoch=epoch, **{f"train_{k}": v for k, v in mm.items()})
+                print(
+                    f"epoch {epoch} step {step} loss {mm['loss']:.4f} "
+                    f"r2 {mm['r2']:.4f} ({(time.time()-t0)/step:.2f}s/it)",
+                    flush=True,
+                )
+            if max_steps and step >= max_steps:
+                ckpt.save(last_path, state, cfg)
+                return last_path
+        # Validation.
+        vals = []
+        for batch in data.batches(data.val, cfg.train.batch_size, False):
+            hb = {k: jnp.asarray(v) for k, v in batch.items() if k != "indices"}
+            vals.append(eval_step(state, hb, map_points, cfg=cfg))
+        vloss = float(jnp.mean(jnp.stack([v["loss"] for v in vals])))
+        vr2 = float(jnp.mean(jnp.stack([v["r2"] for v in vals])))
+        logger.log(step, epoch=epoch, val_loss=vloss, val_r2=vr2)
+        print(f"epoch {epoch} VAL loss {vloss:.4f} r2 {vr2:.4f}", flush=True)
+        ckpt.save(last_path, state, cfg)
+        if vloss < best_val:
+            best_val = vloss
+            ckpt.save(best_path, state, cfg)
+    return best_path

@@ -1,0 +1,53 @@
+"""Checkpoint save/restore (orbax) + hyperparameter sidecar.
+
+Replaces Lightning's ModelCheckpoint (/root/reference/scripts/train.py:40-45).
+Checkpoints carry params + batch_stats + opt_state and a JSON sidecar with
+the config (the reference freezes hyper_parameters into ckpts via
+save_hyperparameters, models.py:36; consumers read them back, e.g.
+mask.py:54)."""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any
+
+import jax
+import orbax.checkpoint as ocp
+
+
+def _cfg_to_dict(cfg) -> dict:
+    def enc(o):
+        if dataclasses.is_dataclass(o):
+            return {f.name: enc(getattr(o, f.name)) for f in dataclasses.fields(o)}
+        if isinstance(o, (tuple, list)):
+            return [enc(x) for x in o]
+        if hasattr(o, "dtype") and not isinstance(o, (int, float, str, bool)):
+            return str(o)
+        return o
+
+    return enc(cfg)
+
+
+def save(path: str, state, cfg=None) -> None:
+    path = os.path.abspath(path)
+    item = {"params": state.params, "batch_stats": state.batch_stats}
+    if getattr(state, "opt_state", None) is not None:
+        item["step"] = jax.numpy.asarray(state.step)
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(path, item, force=True)
+    if cfg is not None:
+        with open(path + ".config.json", "w") as f:
+            json.dump(_cfg_to_dict(cfg), f, indent=2)
+
+
+def restore(path: str) -> dict[str, Any]:
+    path = os.path.abspath(path)
+    ckptr = ocp.PyTreeCheckpointer()
+    out = ckptr.restore(path)
+    cfg_path = path + ".config.json"
+    if os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            out["config"] = json.load(f)
+    return out
