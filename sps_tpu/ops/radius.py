@@ -79,32 +79,33 @@ def radius_join(
     )[:cell_capacity]
     dropped = jnp.sum((rank >= max_per_cell) & (sorted_cell < cell_capacity))
 
-    # Probe the 27-neighborhood of each query cell.
+    # Probe the 27-neighborhood of each query cell — all offsets in ONE
+    # batched hash lookup (a single probe loop compiles and runs far
+    # better than 27 separate while loops).
     qcells = _cells(queries, r)
     m = queries.shape[0]
-    hit = jnp.zeros((m,), bool)
+    offs = jnp.stack(
+        jnp.meshgrid(*([jnp.arange(-1, 2, dtype=jnp.int32)] * 3), indexing="ij"),
+        axis=-1,
+    ).reshape(27, 3)
+    q = jnp.concatenate(
+        [
+            jnp.zeros((27, m, 1), jnp.int32),
+            qcells[None, :, :] + offs[:, None, :],
+        ],
+        axis=-1,
+    ).reshape(27 * m, 4)
+    qv = jnp.broadcast_to(query_valid[None, :], (27, m)).reshape(-1)
+    cell_row = vhash.lookup(grid.table, q, qv)  # (27*M,)
+    cand = jnp.where(
+        cell_row[:, None] >= 0, lists[jnp.clip(cell_row, 0)], -1
+    )  # (27*M, P)
     scan_safe = jnp.where(scan_valid[:, None], scan, jnp.inf)
-    r2 = jnp.float32(r * r)
-    for dx in (-1, 0, 1):
-        for dy in (-1, 0, 1):
-            for dz in (-1, 0, 1):
-                q = jnp.concatenate(
-                    [
-                        jnp.zeros((m, 1), jnp.int32),
-                        qcells + jnp.asarray([dx, dy, dz], jnp.int32),
-                    ],
-                    axis=-1,
-                )
-                cell_row = vhash.lookup(grid.table, q, query_valid)
-                cand = jnp.where(
-                    cell_row[:, None] >= 0,
-                    lists[jnp.clip(cell_row, 0)],
-                    -1,
-                )  # (M, max_per_cell)
-                pts = scan_safe[jnp.clip(cand, 0)]  # (M, P, 3)
-                d2 = jnp.sum((pts - queries[:, None, :]) ** 2, axis=-1)
-                near = jnp.any((d2 <= r2) & (cand >= 0), axis=-1)
-                hit = hit | near
+    pts = scan_safe[jnp.clip(cand, 0)]  # (27*M, P, 3)
+    qrep = jnp.broadcast_to(queries[None], (27, m, 3)).reshape(27 * m, 1, 3)
+    d2 = jnp.sum((pts - qrep) ** 2, axis=-1)
+    near = jnp.any((d2 <= jnp.float32(r * r)) & (cand >= 0), axis=-1)
+    hit = jnp.any(near.reshape(27, m), axis=0)
     return hit & query_valid, dropped
 
 

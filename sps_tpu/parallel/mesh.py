@@ -1,0 +1,115 @@
+"""Multi-chip SPMD: data-parallel training over a jax.sharding.Mesh.
+
+The reference is single-process single-GPU
+(/root/reference/scripts/train.py:54-56; SURVEY.md §2c: no distributed
+strategy at all). The TPU-native scale-out path is explicit SPMD with
+shard_map over an ICI mesh:
+
+  * axis "dp": the scan batch is sharded; each chip runs the full
+    per-sample pipeline (radius join -> voxelize -> topology -> MinkUNet
+    -> loss) on its local shard — the sparse topology is per-sample, so
+    data parallelism needs no cross-chip communication until the gradient
+    pmean, which XLA lowers to an ICI all-reduce.
+  * params, optimizer state, and the point-cloud map are replicated.
+  * batch_stats are pmean'd like gradients so devices never diverge.
+
+Spatial sharding of the voxel hash (the point-cloud analog of sequence
+parallelism, SURVEY.md §5) is the planned second axis; single-scan compute
+fits comfortably in one chip's HBM for BLT/NCLT scale.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+try:  # moved in newer jax
+    from jax.experimental.shard_map import shard_map
+except ImportError:  # pragma: no cover
+    from jax.shard_map import shard_map  # type: ignore
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "dp") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (axis,))
+
+
+def make_dp_train_step(cfg, mesh: Mesh, augment: bool = True):
+    """Build a jitted data-parallel train step.
+
+    Host batch arrays are (B, ...) with B divisible by mesh size; they are
+    sharded over "dp". Returns step(state, batch, map_points, rngs) where
+    rngs is one PRNG key per device (jax.random.split(key, B)).
+    """
+    from sps_tpu import train as tr
+
+    def local(state, batch, map_points, rngs):
+        rng = rngs[0]
+        return tr.grad_step(
+            state, batch, map_points, rng, cfg=cfg, augment=augment, axis_name="dp"
+        )
+
+    smapped = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P("dp"), P(), P("dp")),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )
+    return jax.jit(smapped, donate_argnums=(0,))
+
+
+def dryrun(n_devices: int) -> None:
+    """One tiny data-parallel training step on an n_devices mesh."""
+    import dataclasses
+
+    import sps_tpu.config as cfg_mod
+    from sps_tpu import train as tr
+    from sps_tpu.config import Config, DataConfig, TrainConfig, TPUConfig
+
+    cfg = Config(
+        data=DataConfig(root="/tmp"),
+        train=TrainConfig(batch_size=1, lr=1e-3),
+        tpu=TPUConfig(
+            scan_points=256,
+            submap_points=256,
+            cell_capacity=1024,
+            voxels=(1024, 512, 256, 128, 64),
+        ),
+    )
+    mesh = make_mesh(n_devices)
+    rng = jax.random.PRNGKey(0)
+    state = tr.create_state(cfg, rng, steps_per_epoch=1)
+
+    b = n_devices  # one sample per device
+    rnp = np.random.default_rng(0)
+    ns = cfg.tpu.scan_points
+    batch = {
+        "xyz": jnp.asarray(rnp.uniform(-5, 5, (b, ns, 3)).astype(np.float32)),
+        "label": jnp.asarray(rnp.uniform(0, 1, (b, ns)).astype(np.float32)),
+        "valid": jnp.ones((b, ns), bool),
+    }
+    map_points = jnp.asarray(rnp.uniform(-5, 5, (4096, 3)).astype(np.float32))
+    rngs = jax.random.split(jax.random.PRNGKey(1), b)
+
+    # Place inputs with explicit shardings so XLA sees the dp layout.
+    sb = NamedSharding(mesh, P("dp"))
+    srep = NamedSharding(mesh, P())
+    batch = {k: jax.device_put(v, sb) for k, v in batch.items()}
+    map_points = jax.device_put(map_points, srep)
+    state = jax.device_put(state, srep)
+    rngs = jax.device_put(rngs, sb)
+
+    step = make_dp_train_step(cfg, mesh, augment=True)
+    state, metrics = step(state, batch, map_points, rngs)
+    jax.block_until_ready(metrics)
+    loss = float(metrics["loss"])
+    assert np.isfinite(loss), "non-finite loss in multichip dryrun"
+    print(f"dryrun_multichip: {n_devices} devices, loss={loss:.4f} ok")

@@ -51,7 +51,7 @@ def _dummy_point_batch(capacity: int) -> PointBatch:
 
 def create_state(cfg: Config, rng: jax.Array, steps_per_epoch: int) -> TrainState:
     model = SPSModel(cfg.sps_config())
-    variables = model.init(rng, _dummy_point_batch(cfg.point_capacity))
+    variables = jax.jit(model.init)(rng, _dummy_point_batch(cfg.point_capacity))
     schedule = optax.exponential_decay(
         init_value=cfg.train.lr,
         transition_steps=max(1, steps_per_epoch * cfg.train.lr_epoch),
@@ -70,8 +70,19 @@ def create_state(cfg: Config, rng: jax.Array, steps_per_epoch: int) -> TrainStat
     )
 
 
-@partial(jax.jit, static_argnames=("cfg", "augment"), donate_argnums=(0,))
-def train_step(state: TrainState, batch, map_points, rng, *, cfg: Config, augment: bool):
+def grad_step(
+    state: TrainState,
+    batch,
+    map_points,
+    rng,
+    *,
+    cfg: Config,
+    augment: bool,
+    axis_name: str | None = None,
+):
+    """One optimizer step. With axis_name set (inside shard_map/pmap) the
+    gradients, loss and batch_stats are pmean'd over the data-parallel
+    axis, so every device applies identical updates."""
     pb, aux = pipeline.assemble_batch(
         batch["xyz"],
         batch["label"],
@@ -95,15 +106,29 @@ def train_step(state: TrainState, batch, map_points, rng, *, cfg: Config, augmen
     (loss, (mut, scores, scan_mask, maux)), grads = jax.value_and_grad(
         loss_fn, has_aux=True
     )(state.params)
-    state = state.apply_gradients(grads=grads)
-    state = state.replace(batch_stats=mut["batch_stats"])
     metrics = {
         "loss": loss,
         "r2": masked_r2(scores, pb.label, scan_mask),
         "overflow": jnp.any(maux["overflow"]),
         "submap_overflow": aux["submap_overflow"],
     }
+    new_bs = mut["batch_stats"]
+    if axis_name is not None:
+        grads = jax.lax.pmean(grads, axis_name)
+        new_bs = jax.lax.pmean(new_bs, axis_name)
+        metrics = {
+            k: (jax.lax.pmean(v, axis_name) if v.dtype != bool else
+                jax.lax.pmax(v.astype(jnp.int32), axis_name) > 0)
+            for k, v in metrics.items()
+        }
+    state = state.apply_gradients(grads=grads)
+    state = state.replace(batch_stats=new_bs)
     return state, metrics
+
+
+@partial(jax.jit, static_argnames=("cfg", "augment"), donate_argnums=(0,))
+def train_step(state: TrainState, batch, map_points, rng, *, cfg: Config, augment: bool):
+    return grad_step(state, batch, map_points, rng, cfg=cfg, augment=augment)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
