@@ -1,0 +1,116 @@
+#!/usr/bin/env python3
+"""Headline benchmark: streaming SPS scans/sec on TPU.
+
+Measures the full online per-scan pipeline (pose transform -> voxelize ->
+map-overlap prune -> MinkUNet14 stability scores -> threshold filter) at
+BLT scale (~1.2e5-point scans against a ~1.5e6-point map, 0.1 m voxels —
+SURVEY.md §6), the counterpart of the reference online node's per-scan
+wall time (sps_node.py:164-176, target sensor rate 10 Hz).
+
+vs_baseline: reference pipeline sensor-rate budget of 10 scans/sec (the
+repo publishes no numbers — BASELINE.md; 10 Hz is the rate the reference's
+online pipeline must sustain and roughly what its GPU timing logs show).
+
+Prints ONE JSON line.
+"""
+
+import json
+import os
+import sys
+import time
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _HERE)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(_HERE, ".jax_cache"))
+
+import numpy as np
+
+
+def _log(msg):
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+
+
+def _make_data(cfg, n_scans):
+    """Generate (and cache) the BLT-scale synthetic world + scans."""
+    from sps_tpu.data import synthetic
+
+    ns = cfg.tpu.scan_points
+    cache = f"/tmp/sps_bench_cache_{ns}_{n_scans}.npz"
+    if os.path.exists(cache):
+        z = np.load(cache)
+        return z["stable"], z["scans"], z["labels"], z["valids"]
+    rng = np.random.default_rng(0)
+    stable = synthetic.make_world(
+        seed=0, extent=50.0, n_stable=120, ground_points=1_200_000
+    )
+    clutter = synthetic._boxes(rng, 40, 40.0).astype(np.float32)
+    scans = np.zeros((n_scans, ns, 3), np.float32)
+    labels = np.zeros((n_scans, ns), np.float32)
+    valids = np.zeros((n_scans, ns), bool)
+    for i in range(n_scans):
+        ang = 2 * np.pi * i / n_scans
+        pose_xy = 25.0 * np.array([np.cos(ang), np.sin(ang)])
+        pts, lab = synthetic.sample_scan(
+            rng, stable, clutter, pose_xy, n_rays=360 * 24, max_r=30.0
+        )
+        k = min(len(pts), ns)
+        scans[i, :k], labels[i, :k], valids[i, :k] = pts[:k], lab[:k], True
+    np.savez(cache, stable=stable, scans=scans, labels=labels, valids=valids)
+    return stable, scans, labels, valids
+
+
+def main():
+    import jax
+
+    from sps_tpu import config as cfg_mod
+    from sps_tpu import train as tr
+    from sps_tpu.stream.engine import StreamingFilter
+
+    cfg = cfg_mod.load(
+        os.path.join(_HERE, "config", "config.yaml"), data_root="/tmp"
+    )
+    n_scans, ns = 24, cfg.tpu.scan_points
+    _log("generating/loading data")
+    stable, scans, labels, valids = _make_data(cfg, n_scans)
+    poses = [np.eye(4, dtype=np.float32)] * n_scans  # already map frame
+
+    _log("init model")
+    state = tr.create_state(cfg, jax.random.PRNGKey(0), steps_per_epoch=1)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    _log("build map table")
+    filt = StreamingFilter(cfg, variables, stable)
+
+    # Warmup / compile.
+    _log("warmup/compile")
+    scores, keep, stats = filt(scans[0], valids[0], labels[0], poses[0])
+    jax.block_until_ready(scores)
+    _log("timing")
+
+    lat = []
+    for i in range(n_scans):
+        t0 = time.perf_counter()
+        scores, keep, stats = filt(scans[i], valids[i], labels[i], poses[i])
+        jax.block_until_ready((scores, keep))
+        lat.append(time.perf_counter() - t0)
+    lat = np.asarray(lat)
+    p50 = float(np.percentile(lat, 50))
+    sps = 1.0 / p50
+
+    mean_pts = float(np.mean([v.sum() for v in valids]))
+    result = {
+        "metric": "streaming_scans_per_sec",
+        "value": round(sps, 2),
+        "unit": "scans/s",
+        "vs_baseline": round(sps / 10.0, 2),
+        "p50_latency_ms": round(p50 * 1e3, 3),
+        "p90_latency_ms": round(float(np.percentile(lat, 90)) * 1e3, 3),
+        "mean_scan_points": int(mean_pts),
+        "scan_voxels": int(stats["n_scan_voxels"]),
+        "submap_voxels": int(stats["n_submap_voxels"]),
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

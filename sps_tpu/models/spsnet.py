@@ -33,6 +33,21 @@ class SPSConfig:
     unet: MinkUNetConfig = MinkUNetConfig(in_channels=1, out_channels=1, num_time=2)
 
 
+def build_levels_from_grid(grid, cfg: SPSConfig):
+    """Topology pyramid from an existing stride-1 VoxelGrid."""
+    ks = ((cfg.unet.first_kernel, cfg.unet.block_kernel),) + (
+        (cfg.unet.block_kernel,),
+    ) * (NUM_LEVELS - 1)
+    levels = topo.build_levels(
+        grid,
+        num_levels=NUM_LEVELS,
+        capacities=cfg.caps.voxels,
+        kernel_sizes=ks,
+    )
+    overflow = jnp.stack([lv.grid.overflow for lv in levels])
+    return levels, overflow
+
+
 def build_pyramid(pb: PointBatch, cfg: SPSConfig):
     """Voxelize a point batch and build the 5-level topology pyramid.
 
@@ -48,16 +63,7 @@ def build_pyramid(pb: PointBatch, cfg: SPSConfig):
         num_time=cfg.unet.num_time,
         voxel_capacity=cfg.caps.voxels[0],
     )
-    ks = ((cfg.unet.first_kernel, cfg.unet.block_kernel),) + (
-        (cfg.unet.block_kernel,),
-    ) * (NUM_LEVELS - 1)
-    levels = topo.build_levels(
-        grid,
-        num_levels=NUM_LEVELS,
-        capacities=cfg.caps.voxels,
-        kernel_sizes=ks,
-    )
-    overflow = jnp.stack([lv.grid.overflow for lv in levels])
+    levels, overflow = build_levels_from_grid(grid, cfg)
     return levels, p2v, overflow
 
 
@@ -65,17 +71,38 @@ class SPSModel(nn.Module):
     cfg: SPSConfig
 
     @nn.compact
-    def __call__(self, pb: PointBatch, train: bool = False):
+    def __call__(
+        self,
+        pb: PointBatch | None = None,
+        train: bool = False,
+        *,
+        grid=None,
+        p2v=None,
+        t_idx=None,
+        valid=None,
+    ):
         """Returns (scores, aux): (N,) per-point sigmoid stability scores
-        (0 for padded points) and a dict with overflow flags."""
+        (0 for padded points) and a dict with overflow flags.
+
+        Two entry modes:
+          * pb: voxelizes the PointBatch (offline train/predict path).
+          * grid/p2v/t_idx/valid: a precomputed stride-1 VoxelGrid whose
+            occupancy already encodes scan/map presence — the streaming
+            path (the reference's online prune at util.py:85-114 reduces
+            to occupancy bits here, so no submap cloud is materialized).
+        """
         cfg = self.cfg
         t = cfg.unet.num_time
-        levels, p2v, overflow = build_pyramid(pb, cfg)
+        if grid is None:
+            levels, p2v, overflow = build_pyramid(pb, cfg)
+            t_idx, valid = pb.t, pb.valid
+        else:
+            levels, overflow = build_levels_from_grid(grid, cfg)
         # Constant 0.5 input feature on occupied slots (models.py:22).
         feats0 = 0.5 * jnp.repeat(levels[0].grid.occ, cfg.unet.in_channels, axis=-1)
         out = MinkUNet(cfg.unet, name="MinkUNet")(feats0, levels, train)
         v = out.shape[0]
         out3 = out.reshape(v, t, cfg.unet.out_channels)
-        per_point = vox.devoxelize(out3, p2v, pb.t)[:, 0]
-        scores = nn.sigmoid(per_point) * pb.valid.astype(per_point.dtype)
+        per_point = vox.devoxelize(out3, p2v, t_idx)[:, 0]
+        scores = nn.sigmoid(per_point) * valid.astype(per_point.dtype)
         return scores, {"overflow": overflow, "point2voxel": p2v}

@@ -25,6 +25,7 @@ from __future__ import annotations
 import itertools
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -71,23 +72,36 @@ class Level(NamedTuple):
     parity: jnp.ndarray | None
 
 
-def _neighbor_table(grid: vox.VoxelGrid, offsets: np.ndarray) -> jnp.ndarray:
-    """(K, V) neighbor rows for each static offset; -1 where absent."""
+def _neighbor_table(
+    grid: vox.VoxelGrid, offsets: np.ndarray, chunk: int = 9
+) -> jnp.ndarray:
+    """(K, V) neighbor rows for each static offset; -1 where absent.
+
+    Offsets are looked up in chunks via lax.map so the probe loop's live
+    set stays at chunk*V rows instead of K*V (a 125-offset kernel at
+    V=262k would otherwise hold multi-GB gather buffers inside one
+    while_loop)."""
     v = grid.coords.shape[0]
     k = offsets.shape[0]
     valid = jnp.arange(v) < grid.num_voxels
-    offs = jnp.asarray(offsets, jnp.int32)  # (K, 3)
-    # Queries: (K*V, 4) = [batch, xyz + off]
-    q = jnp.concatenate(
-        [
-            jnp.broadcast_to(grid.coords[None, :, :1], (k, v, 1)),
-            grid.coords[None, :, 1:] + offs[:, None, :],
-        ],
-        axis=-1,
-    ).reshape(k * v, 4)
-    qvalid = jnp.broadcast_to(valid[None, :], (k, v)).reshape(-1)
-    rows = vhash.lookup(grid.table, q, qvalid)
-    return rows.reshape(k, v)
+    nchunks = -(-k // chunk)
+    padded = np.full((nchunks * chunk, 3), vox.PAD_COORD, np.int32)
+    padded[:k] = offsets
+    offs = jnp.asarray(padded.reshape(nchunks, chunk, 3))
+
+    def one_chunk(off_c):  # (chunk, 3)
+        q = jnp.concatenate(
+            [
+                jnp.broadcast_to(grid.coords[None, :, :1], (chunk, v, 1)),
+                grid.coords[None, :, 1:] + off_c[:, None, :],
+            ],
+            axis=-1,
+        ).reshape(chunk * v, 4)
+        qvalid = jnp.broadcast_to(valid[None, :], (chunk, v)).reshape(-1)
+        return vhash.lookup(grid.table, q, qvalid).reshape(chunk, v)
+
+    rows = jax.lax.map(one_chunk, offs)  # (nchunks, chunk, v)
+    return rows.reshape(nchunks * chunk, v)[:k]
 
 
 def build_levels(

@@ -1,0 +1,134 @@
+"""Streaming per-scan filter engine (the reference's online node, on TPU).
+
+Replaces the ROS pipeline of sps_node.py
+(/root/reference/c_ws/src/sps_filter/scripts/sps_node.py:88-176): per scan
+  1. transform to map frame with the current pose        (step 1-2)
+  2. voxelize; overlap-test against the resident map     (step 3, "prune")
+  3. MinkUNet stability scores, devoxelized to points    (step 4)
+  4. loss/R2/dIoU metrics vs intensity-as-label          (step 5)
+  5. threshold filter: keep scores <= epsilon            (step 6)
+
+TPU-native redesign: the reference materializes a submap point cloud from
+the overlap voxels (util.py:85-114) and re-voxelizes it inside the model.
+Because overlap voxels are by construction the scan's own voxels, the
+whole prune step collapses to ONE hash lookup per scan voxel against a
+prebuilt map-voxel table: the model consumes the scan grid with its
+map-occupancy bit set. No submap cloud, no second voxelization, no
+host round trips — a single jitted function per scan.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sps_tpu.config import Config
+from sps_tpu.models.spsnet import SPSModel
+from sps_tpu.ops import hash as vhash
+from sps_tpu.ops import voxelize as vox
+from sps_tpu.utils import metrics as met
+from sps_tpu.utils.geometry import transform_points
+
+
+def build_map_table(map_points: np.ndarray, voxel_size: float, capacity: int | None = None):
+    """Voxelize the map once; returns its HashTable (resident in HBM).
+
+    Equivalent of the reference's one-time to_coords_features(map) at
+    sps_node.py:68-74."""
+    m = len(map_points)
+    if capacity is None:
+        capacity = vhash.next_pow2(m)
+    coords = vox.quantize(jnp.asarray(map_points), voxel_size)
+
+    @jax.jit
+    def build(coords):
+        grid, _, _ = vox.voxelize(
+            coords,
+            jnp.zeros((m,), jnp.int32),
+            jnp.zeros((m,), jnp.int32),
+            jnp.ones((m,), bool),
+            num_time=1,
+            voxel_capacity=capacity,
+        )
+        return grid.table, grid.num_voxels
+
+    table, nvox = build(coords)
+    return table, int(nvox)
+
+
+class StreamingFilter:
+    """Holds the resident map + compiled per-scan function."""
+
+    def __init__(self, cfg: Config, variables, map_points: np.ndarray):
+        self.cfg = cfg
+        # Streaming uses scan-only voxel capacity (no submap cloud).
+        self.sps_cfg = cfg.sps_config(batch_size=1)
+        self.model = SPSModel(self.sps_cfg)
+        self.variables = variables
+        self.map_table, self.map_voxels = build_map_table(
+            map_points, cfg.voxel_size
+        )
+        self.eps = cfg.threshold
+        self._fn = self._make_fn()
+
+    def _make_fn(self):
+        cfg = self.cfg
+        model = self.model
+        eps = self.eps
+        vsize = cfg.voxel_size
+        vcap = cfg.tpu.voxels[0]
+
+        @jax.jit
+        def fn(variables, map_table, scan_xyz, valid, labels, pose):
+            xyz = transform_points(scan_xyz, pose)
+            coords = vox.quantize(xyz, vsize)
+            n = scan_xyz.shape[0]
+            grid, p2v, _ = vox.voxelize(
+                coords,
+                jnp.zeros((n,), jnp.int32),
+                jnp.ones((n,), jnp.int32),  # scan time slot = 1
+                valid,
+                num_time=2,
+                voxel_capacity=vcap,
+            )
+            rows_valid = jnp.arange(vcap) < grid.num_voxels
+            overlap = vhash.lookup(map_table, grid.coords, rows_valid) >= 0
+            occ = grid.occ.at[:, 0].set(
+                (overlap & rows_valid).astype(grid.occ.dtype)
+            )
+            grid2 = grid._replace(occ=occ)
+            scores, aux = model.apply(
+                variables,
+                grid=grid2,
+                p2v=p2v,
+                t_idx=jnp.ones((n,), jnp.int32),
+                valid=valid,
+            )
+            keep = (scores <= eps) & valid  # sps_node.py:148
+            stats = {
+                "loss": met.masked_mse(scores, labels, valid),
+                "r2": met.masked_r2(scores, labels, valid),
+                **met.classification_metrics(scores, labels, valid, eps),
+                "n_scan_voxels": grid.num_voxels,
+                "n_submap_voxels": jnp.sum((overlap & rows_valid).astype(jnp.int32)),
+                "n_kept": jnp.sum(keep.astype(jnp.int32)),
+                "overflow": jnp.any(aux["overflow"]),
+            }
+            return scores, keep, stats
+
+        return fn
+
+    def __call__(self, scan_xyz, valid, labels, pose):
+        """Run one scan (device arrays or numpy); returns (scores, keep,
+        stats) device arrays. Callers time with block_until_ready."""
+        return self._fn(
+            self.variables,
+            self.map_table,
+            jnp.asarray(scan_xyz),
+            jnp.asarray(valid),
+            jnp.asarray(labels),
+            jnp.asarray(pose),
+        )
