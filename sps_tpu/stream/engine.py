@@ -37,14 +37,21 @@ def build_map_table(map_points: np.ndarray, voxel_size: float, capacity: int | N
     """Voxelize the map once; returns its HashTable (resident in HBM).
 
     Equivalent of the reference's one-time to_coords_features(map) at
-    sps_node.py:68-74."""
+    sps_node.py:68-74.
+
+    NOTE: num_voxels is returned as a DEVICE scalar, deliberately not
+    fetched — on the axon runtime the first device->host literal fetch
+    permanently degrades the session to ~35 ms per dispatch, which
+    multiplies into every while-loop iteration afterwards (measured 33 s
+    per scan vs 30 ms clean). Fetch it only after timing-critical work.
+    """
     m = len(map_points)
     if capacity is None:
         capacity = vhash.next_pow2(m)
-    coords = vox.quantize(jnp.asarray(map_points), voxel_size)
 
     @jax.jit
-    def build(coords):
+    def build(points):
+        coords = vox.quantize(points, voxel_size)
         grid, _, _ = vox.voxelize(
             coords,
             jnp.zeros((m,), jnp.int32),
@@ -55,8 +62,8 @@ def build_map_table(map_points: np.ndarray, voxel_size: float, capacity: int | N
         )
         return grid.table, grid.num_voxels
 
-    table, nvox = build(coords)
-    return table, int(nvox)
+    table, nvox = build(jnp.asarray(map_points))
+    return table, nvox
 
 
 class StreamingFilter:

@@ -72,7 +72,13 @@ def replay_sequence(
 
     # Scans are already map-frame after load_sequences; the node path
     # receives sensor-frame clouds + poses, so this exercises pose=I.
+    #
+    # Metric/score fetches are DEFERRED past the replay loop: on the axon
+    # runtime the first device->host value fetch permanently degrades
+    # dispatch latency (see sps_tpu/stream/engine.py), so the loop only
+    # blocks on readiness and keeps device arrays.
     pose = np.eye(4, dtype=np.float32)
+    pending = []
     for i, scan in enumerate(seqs.scans):
         t0 = time.perf_counter()
         n = min(len(scan), ns)
@@ -83,9 +89,16 @@ def replay_sequence(
         scores, keep, m = filt(sx, sv, sl, pose)
         jax.block_until_ready((scores, keep))
         t_total = time.perf_counter() - t0
+        pending.append((i, n, t_total, keep, m))
+        if rate > 0:
+            sleep = 1.0 / rate - (time.perf_counter() - t0)
+            if sleep > 0:
+                time.sleep(sleep)
 
+    for i, n, t_total, keep, m in pending:
         keep_np = np.asarray(keep)[:n]
         if out_dir:
+            scan = seqs.scans[i]
             np.save(
                 os.path.join(out_dir, f"{i:06d}.npy"),
                 scan[:n][keep_np].astype(np.float32),
@@ -108,10 +121,6 @@ def replay_sequence(
             f"L: {row['loss']:.3f} r2: {row['r2']:.3f} dIoU: {row['dIoU']:.3f} "
             f"N: {row['N']} n: {row['n_kept']} S: {row['S']} M: {row['M']}"
         )
-        if rate > 0:
-            sleep = 1.0 / rate - (time.perf_counter() - t0)
-            if sleep > 0:
-                time.sleep(sleep)
     return stats
 
 
