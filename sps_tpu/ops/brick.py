@@ -1,0 +1,373 @@
+"""Dense-brick sparse engine: 4x4x4 voxel bricks with separable halo.
+
+Second-generation TPU-native backend for the same sparse-conv semantics as
+sps_tpu.ops.sparse_conv (MinkowskiEngine equivalence, see that module's
+docstring). Motivation (measured on v5e): TPU random row-gather throughput
+is ~1e8 rows/s, so the per-voxel gather formulation costs ~1e8+ gathers
+per scan (~30 s). Bricking restores dense structure:
+
+  * Voxels live in 4x4x4 **bricks**; hashing/dedup/neighbor lookup happen
+    at brick granularity — 64x fewer hash operations.
+  * A 3^3 (or 5^3) conv becomes a dense 3D convolution over halo-extended
+    (6^3 / 8^3) brick blocks — pure MXU work, zero per-voxel gathers.
+  * The halo exchange is **separable**: extend x from 2 neighbor-brick
+    row-gathers, then extend y by gathering the already-x-extended rows,
+    then z — 6 wide row-gathers per brick instead of 26, and diagonal
+    neighbors arrive for free through the chaining.
+  * Stride-2 down conv gathers a coarse brick's 8 children into an 8^3
+    block and reduces 2^3 windows densely; transpose conv gathers the
+    parent brick and expands its octant densely (ME stride semantics as in
+    ops/topology.py).
+
+Empty voxels inside occupied bricks are phantom slots, masked exactly like
+the row-engine masks (occ has shape (B, 4, 4, 4, T)).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sps_tpu.ops import hash as vhash
+from sps_tpu.ops import voxelize as vox
+
+BS = 4  # brick side
+BVOL = BS**3
+
+# x-slowest (0,1)^3 enumeration, shared with ops/topology.DOWN_OFFSETS.
+OCT_OFFSETS = [(a, b, c) for a in (0, 1) for b in (0, 1) for c in (0, 1)]
+NBR6_OFFSETS = np.asarray(
+    [[-1, 0, 0], [1, 0, 0], [0, -1, 0], [0, 1, 0], [0, 0, -1], [0, 0, 1]],
+    np.int32,
+)
+
+
+class BrickGrid(NamedTuple):
+    coords: jnp.ndarray  # (B, 4) int32 [batch, bx, by, bz]; PAD_COORD pad
+    occ: jnp.ndarray  # (B, 4, 4, 4, T) float32
+    num_bricks: jnp.ndarray  # () int32
+    table: vhash.HashTable  # brick coords -> compact row
+    overflow: jnp.ndarray  # () bool
+
+
+OFFS27 = [(a, b, c) for a in (-1, 0, 1) for b in (-1, 0, 1) for c in (-1, 0, 1)]
+
+
+class BrickLevel(NamedTuple):
+    grid: BrickGrid
+    nbr27: jnp.ndarray  # (27, B) neighbor brick rows (OFFS27 order)
+    parent: jnp.ndarray | None  # (B,) coarse brick row
+    oct: jnp.ndarray | None  # (B, 3) octant (bcoords & 1) per axis
+    child: jnp.ndarray | None  # (8, B) fine brick rows (OCT_OFFSETS order)
+
+
+def take_rows(feats: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Gather leading-axis rows; zeros where idx < 0."""
+    safe = jnp.clip(idx, 0)
+    out = feats[safe]
+    mask = (idx >= 0).astype(feats.dtype)
+    return out * mask.reshape(mask.shape + (1,) * (out.ndim - 1))
+
+
+def voxelize_bricks(
+    coords: jnp.ndarray,
+    batch_idx: jnp.ndarray,
+    t_idx: jnp.ndarray,
+    valid: jnp.ndarray,
+    *,
+    num_time: int,
+    brick_capacity: int,
+) -> tuple[BrickGrid, jnp.ndarray]:
+    """Dedup integer voxel coords into bricks.
+
+    Returns (grid, point2slot) where point2slot is the flat index
+    brick_row * 64 + local into the (B*64,) voxel view (-1 invalid) —
+    directly usable with ops.voxelize.devoxelize on (B*64, T, C) arrays.
+    """
+    n = coords.shape[0]
+    bc = coords >> 2  # arithmetic shift = floor-div for negatives
+    local = coords & 3
+    key = jnp.concatenate([batch_idx[:, None], bc], axis=-1).astype(jnp.int32)
+    table_cap = vhash.next_pow2(max(2 * n, 16))
+    raw, slot_of = vhash.build(key, valid, table_cap)
+
+    occupied = raw.rows >= 0
+    brick_of_slot = jnp.cumsum(occupied.astype(jnp.int32)) - 1
+    num = jnp.sum(occupied.astype(jnp.int32))
+    overflow = num > brick_capacity
+
+    dest = jnp.where(occupied & (brick_of_slot < brick_capacity), brick_of_slot, brick_capacity)
+    coords_c = jnp.full((brick_capacity, 4), vox.PAD_COORD, jnp.int32).at[dest].set(
+        raw.keys, mode="drop"
+    )
+    rows_c = jnp.where(
+        occupied & (brick_of_slot < brick_capacity), brick_of_slot, vhash.EMPTY
+    )
+    table = vhash.HashTable(keys=raw.keys, rows=rows_c)
+
+    p2b = jnp.where(valid & (slot_of >= 0), brick_of_slot[jnp.clip(slot_of, 0)], vhash.EMPTY)
+    p2b = jnp.where(p2b < brick_capacity, p2b, vhash.EMPTY)
+    lflat = local[:, 0] * 16 + local[:, 1] * 4 + local[:, 2]
+    point2slot = jnp.where(p2b >= 0, p2b * BVOL + lflat, vhash.EMPTY)
+
+    pb = jnp.where(p2b >= 0, p2b, brick_capacity)
+    occ = (
+        jnp.zeros((brick_capacity + 1, BVOL, num_time), jnp.float32)
+        .at[pb, lflat, jnp.clip(t_idx, 0, num_time - 1)]
+        .max(valid.astype(jnp.float32))
+    )[:brick_capacity].reshape(brick_capacity, BS, BS, BS, num_time)
+
+    grid = BrickGrid(
+        coords=coords_c,
+        occ=occ,
+        num_bricks=jnp.minimum(num, brick_capacity),
+        table=table,
+        overflow=overflow,
+    )
+    return grid, point2slot
+
+
+def _brick_lookup(grid: BrickGrid, offsets: np.ndarray) -> jnp.ndarray:
+    """(K, B) neighbor brick rows for static brick-coordinate offsets."""
+    b = grid.coords.shape[0]
+    k = offsets.shape[0]
+    valid = jnp.arange(b) < grid.num_bricks
+    offs = jnp.asarray(offsets, jnp.int32)
+    q = jnp.concatenate(
+        [
+            jnp.broadcast_to(grid.coords[None, :, :1], (k, b, 1)),
+            grid.coords[None, :, 1:] + offs[:, None, :],
+        ],
+        axis=-1,
+    ).reshape(k * b, 4)
+    qv = jnp.broadcast_to(valid[None, :], (k, b)).reshape(-1)
+    return vhash.lookup(grid.table, q, qv).reshape(k, b)
+
+
+def downsample_bricks(grid: BrickGrid, coarse_capacity: int) -> tuple[BrickGrid, jnp.ndarray]:
+    """Coarse-level brick grid (voxel stride doubles => brick coords halve).
+
+    Returns (coarse_grid, fine2coarse). Coarse occupancy is the 2^3
+    max-pool of the assembled children (ME stride-2 output coordinate set).
+    """
+    b = grid.coords.shape[0]
+    valid = jnp.arange(b) < grid.num_bricks
+    ckey = jnp.concatenate([grid.coords[:, :1], grid.coords[:, 1:] >> 1], axis=-1)
+    ckey = jnp.where(valid[:, None], ckey, vox.PAD_COORD)
+    table_cap = vhash.next_pow2(max(2 * b, 16))
+    raw, slot_of = vhash.build(ckey, valid, table_cap)
+    occupied = raw.rows >= 0
+    cid_of_slot = jnp.cumsum(occupied.astype(jnp.int32)) - 1
+    num = jnp.sum(occupied.astype(jnp.int32))
+    overflow = num > coarse_capacity
+    dest = jnp.where(occupied & (cid_of_slot < coarse_capacity), cid_of_slot, coarse_capacity)
+    coords_c = jnp.full((coarse_capacity, 4), vox.PAD_COORD, jnp.int32).at[dest].set(
+        raw.keys, mode="drop"
+    )
+    rows_c = jnp.where(occupied & (cid_of_slot < coarse_capacity), cid_of_slot, vhash.EMPTY)
+    table = vhash.HashTable(keys=raw.keys, rows=rows_c)
+    fine2coarse = jnp.where(
+        valid & (slot_of >= 0), cid_of_slot[jnp.clip(slot_of, 0)], vhash.EMPTY
+    )
+    fine2coarse = jnp.where(fine2coarse < coarse_capacity, fine2coarse, vhash.EMPTY)
+
+    cgrid = BrickGrid(
+        coords=coords_c,
+        occ=jnp.zeros((coarse_capacity, BS, BS, BS, grid.occ.shape[-1])),
+        num_bricks=jnp.minimum(num, coarse_capacity),
+        table=table,
+        overflow=overflow,
+    )
+    return cgrid, fine2coarse
+
+
+def gather_children(fine_vals: jnp.ndarray, child: jnp.ndarray) -> jnp.ndarray:
+    """Assemble (Bc, 8, 8, 8, C) fine blocks from (8, Bc) child rows over
+    (Bf, 4, 4, 4, C) fine values (zeros where absent)."""
+    bc = child.shape[1]
+    c = fine_vals.shape[-1]
+    out = jnp.zeros((bc, 2 * BS, 2 * BS, 2 * BS, c), fine_vals.dtype)
+    for k, (a, b2, c2) in enumerate(OCT_OFFSETS):
+        blk = take_rows(fine_vals, child[k])
+        out = out.at[:, a * BS : (a + 1) * BS, b2 * BS : (b2 + 1) * BS, c2 * BS : (c2 + 1) * BS].set(blk)
+    return out
+
+
+def coarse_occ_from_children(fine_occ: jnp.ndarray, child: jnp.ndarray) -> jnp.ndarray:
+    """(Bc, 4,4,4, T) coarse occupancy = OR over the 2^3 fine windows."""
+    t = fine_occ.shape[-1]
+    big = gather_children(fine_occ, child)  # (Bc, 8,8,8,T)
+    bc = big.shape[0]
+    return big.reshape(bc, BS, 2, BS, 2, BS, 2, t).max(axis=(2, 4, 6))
+
+
+def build_brick_levels(
+    grid0: BrickGrid, *, num_levels: int, capacities: tuple[int, ...]
+) -> list[BrickLevel]:
+    """Brick topology pyramid, finest first (cf. topology.build_levels)."""
+    assert capacities[0] == grid0.coords.shape[0]
+    grids = [grid0]
+    f2c: list[jnp.ndarray] = []
+    for li in range(num_levels - 1):
+        cg, m = downsample_bricks(grids[-1], capacities[li + 1])
+        f2c.append(m)
+        grids.append(cg)
+
+    levels: list[BrickLevel] = []
+    for li, g in enumerate(grids):
+        nbr27 = _brick_lookup(g, np.asarray(OFFS27, np.int32))
+        parent = f2c[li] if li < num_levels - 1 else None
+        oct_ = (g.coords[:, 1:] & 1) if li < num_levels - 1 else None
+        child = None
+        if li > 0:
+            fine = grids[li - 1]
+            b = g.coords.shape[0]
+            valid = jnp.arange(b) < g.num_bricks
+            offs = jnp.asarray(OCT_OFFSETS, jnp.int32)
+            q = jnp.concatenate(
+                [
+                    jnp.broadcast_to(g.coords[None, :, :1], (8, b, 1)),
+                    (g.coords[None, :, 1:] << 1) + offs[:, None, :],
+                ],
+                axis=-1,
+            ).reshape(8 * b, 4)
+            qv = jnp.broadcast_to(valid[None, :], (8, b)).reshape(-1)
+            child = vhash.lookup(fine.table, q, qv).reshape(8, b)
+            # occupancy at this level comes from the children
+            g = g._replace(occ=coarse_occ_from_children(grids[li - 1].occ, child))
+            grids[li] = g
+        levels.append(BrickLevel(grid=g, nbr27=nbr27, parent=parent, oct=oct_, child=child))
+    return levels
+
+
+def _src_dst(d: int, pad: int):
+    n = BS + 2 * pad
+    if d == -1:
+        return slice(BS - pad, BS), slice(0, pad)
+    if d == 0:
+        return slice(0, BS), slice(pad, pad + BS)
+    return slice(0, pad), slice(pad + BS, n)
+
+
+def halo(feats: jnp.ndarray, nbr27: jnp.ndarray, pad: int) -> jnp.ndarray:
+    """(B, 4,4,4, C) -> (B, 4+2p, 4+2p, 4+2p, C): direct 26-neighbor
+    assembly. The source array is statically sliced BEFORE the row gather
+    so each neighbor contributes only its face/edge/corner bytes (a
+    separable/chained assembly would be cheaper but drops diagonal
+    contributions whenever the intermediate face brick is absent)."""
+    assert 1 <= pad <= BS
+    b, _, _, _, c = feats.shape
+    n = BS + 2 * pad
+    h = jnp.zeros((b, n, n, n, c), feats.dtype)
+    h = h.at[:, pad : pad + BS, pad : pad + BS, pad : pad + BS].set(feats)
+    for k, (dx, dy, dz) in enumerate(OFFS27):
+        if (dx, dy, dz) == (0, 0, 0):
+            continue
+        sx, tx = _src_dst(dx, pad)
+        sy, ty = _src_dst(dy, pad)
+        sz, tz = _src_dst(dz, pad)
+        blk = take_rows(feats[:, sx, sy, sz], nbr27[k])
+        h = h.at[:, tx, ty, tz].set(blk)
+    return h
+
+
+def mask_bricks(feats: jnp.ndarray, occ: jnp.ndarray) -> jnp.ndarray:
+    """Zero phantom (voxel, t) slots. feats (B,4,4,4,T*C), occ (B,4,4,4,T)."""
+    shp = feats.shape
+    t = occ.shape[-1]
+    c = shp[-1] // t
+    x = feats.reshape(shp[:-1] + (t, c)) * occ[..., None].astype(feats.dtype)
+    return x.reshape(shp)
+
+
+def brick_conv(
+    feats: jnp.ndarray,
+    nbr27: jnp.ndarray,
+    w_dense: jnp.ndarray,
+    occ: jnp.ndarray,
+) -> jnp.ndarray:
+    """Stride-1 sparse conv as dense 3D conv over halo blocks.
+
+    w_dense: (k, k, k, T*Cin, T*Cout) in x-slowest offset order (matches
+    ops.topology.kernel_offsets; XLA convs are cross-correlations so no
+    flip)."""
+    k = w_dense.shape[0]
+    pad = k // 2
+    h = halo(feats, nbr27, pad)
+    out = jax.lax.conv_general_dilated(
+        h,
+        w_dense,
+        window_strides=(1, 1, 1),
+        padding="VALID",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return mask_bricks(out, occ)
+
+
+def brick_conv_down(
+    fine_feats: jnp.ndarray,
+    child: jnp.ndarray,
+    w_packed: jnp.ndarray,
+    occ_coarse: jnp.ndarray,
+) -> jnp.ndarray:
+    """Kernel-2 stride-2 conv: assemble 8 children, reduce 2^3 windows.
+
+    w_packed: (8, T*Cin, T*Cout) in OCT_OFFSETS order."""
+    big = gather_children(fine_feats, child)  # (Bc, 8,8,8, TCin)
+    bc = big.shape[0]
+    tc = big.shape[-1]
+    x = big.reshape(bc, BS, 2, BS, 2, BS, 2, tc)
+    # out[i,j,k] = sum_{a,b,c} x[i,a,j,b,k,c] @ W[(a,b,c)]; the explicit
+    # 8-term loop keeps MXU-friendly (N, TC) @ (TC, TC') contractions.
+    acc = 0.0
+    for k2, (a, b2, c2) in enumerate(OCT_OFFSETS):
+        acc = acc + x[:, :, a, :, b2, :, c2, :] @ w_packed[k2]
+    return mask_bricks(acc, occ_coarse)
+
+
+def brick_conv_up(
+    coarse_feats: jnp.ndarray,
+    parent: jnp.ndarray,
+    oct_: jnp.ndarray,
+    w_packed: jnp.ndarray,
+    occ_fine: jnp.ndarray,
+) -> jnp.ndarray:
+    """Transpose kernel-2 stride-2 conv: fine brick pulls its parent's
+    octant sub-block and expands each coarse voxel into 2^3 fine voxels.
+
+    w_packed: (8, T*Cin, T*Cout), OCT_OFFSETS parity order."""
+    bf = occ_fine.shape[0]
+    tcin = coarse_feats.shape[-1]
+    pblock = take_rows(coarse_feats, parent)  # (Bf, 4,4,4, TCin)
+    # Select the (2,2,2) octant sub-block; 8 static slices masked by oct.
+    sub = jnp.zeros((bf, 2, 2, 2, tcin), coarse_feats.dtype)
+    for a, b2, c2 in OCT_OFFSETS:
+        sel = (
+            (oct_[:, 0] == a) & (oct_[:, 1] == b2) & (oct_[:, 2] == c2)
+        ).astype(coarse_feats.dtype)
+        sub = sub + pblock[
+            :, 2 * a : 2 * a + 2, 2 * b2 : 2 * b2 + 2, 2 * c2 : 2 * c2 + 2
+        ] * sel[:, None, None, None, None]
+    # Expand: fine[2i+a, 2j+b, 2k+c] = sub[i,j,k] @ W[(a,b,c)].
+    tcout = w_packed.shape[-1]
+    out = jnp.zeros((bf, BS, BS, BS, tcout), coarse_feats.dtype)
+    for k2, (a, b2, c2) in enumerate(OCT_OFFSETS):
+        out = out.at[:, a::2, b2::2, c2::2].set(sub @ w_packed[k2])
+    return mask_bricks(out, occ_fine)
+
+
+def pack_dense_kernel(w: jnp.ndarray, num_time: int) -> jnp.ndarray:
+    """(K, KT, Cin, Cout) params -> (k, k, k, T*Cin, T*Cout) dense kernel
+    via ops.sparse_conv.pack_time_toeplitz + spatial reshape."""
+    from sps_tpu.ops.sparse_conv import pack_time_toeplitz
+
+    k3 = w.shape[0]
+    k = round(k3 ** (1 / 3))
+    assert k**3 == k3
+    wp = pack_time_toeplitz(w, num_time)  # (K, TCin, TCout)
+    return wp.reshape(k, k, k, wp.shape[-2], wp.shape[-1])
