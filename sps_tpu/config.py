@@ -49,6 +49,8 @@ class TPUConfig:
     submap_points: int = 1 << 17  # padded submap size
     cell_capacity: int = 1 << 18  # radius-join hash cells
     voxels: tuple = (1 << 18, 1 << 16, 1 << 14, 1 << 12, 1 << 10)  # whole batch
+    bricks: tuple = (1 << 15, 1 << 14, 1 << 13, 1 << 12, 1 << 11)  # whole batch
+    engine: str = "brick"  # "brick" | "gather"
     max_per_cell: int = 8
     bf16: bool = False
 
@@ -73,12 +75,14 @@ class Config:
         caps = Capacities(
             points=bs * (self.tpu.scan_points + self.tpu.submap_points),
             voxels=self.tpu.voxels,
+            bricks=self.tpu.bricks,
         )
         return SPSConfig(
             voxel_size=self.voxel_size,
             threshold=self.threshold,
             caps=caps,
             unet=MinkUNetConfig(in_channels=1, out_channels=1, num_time=2),
+            engine=self.tpu.engine,
         )
 
 
@@ -116,6 +120,8 @@ def load(path: str, data_root: str | None = None) -> Config:
             submap_points=int(tpu.get("SUBMAP_POINTS", TPUConfig.submap_points)),
             cell_capacity=int(tpu.get("CELL_CAPACITY", TPUConfig.cell_capacity)),
             voxels=tuple(tpu.get("VOXELS", TPUConfig.voxels)),
+            bricks=tuple(tpu.get("BRICKS", TPUConfig.bricks)),
+            engine=str(tpu.get("ENGINE", TPUConfig.engine)),
             max_per_cell=int(tpu.get("MAX_PER_CELL", TPUConfig.max_per_cell)),
             bf16=bool(tpu.get("BF16", False)),
         ),

@@ -1,4 +1,4 @@
-"""MinkUNet14 on the time-packed sparse engine (flax.linen).
+"""MinkUNet14 (flax.linen) over either sparse backend.
 
 Topology parity with the reference's CustomMinkUNet = MinkUNet14 with
 PLANES=(8,16,32,64,64,32,16,8), INIT_DIM=8, LAYERS=(1,)*8, D=4
@@ -13,12 +13,17 @@ BasicBlock (ME resnet_block; re-declared verbatim by MapMOS at
 with BN, identity or (1x1 conv + BN) shortcut. The same class serves the
 MOS4D (out=3) and MapMOS (out=1, feature=normalized time index) heads.
 
+Two interchangeable engines with identical parameter trees (so converted
+torch checkpoints load into either):
+  * row-gather (sps_tpu.ops.sparse_conv over ops.topology levels) — the
+    reference formulation, exact and simple;
+  * dense-brick (sps_tpu.ops.brick) — the TPU-fast formulation; convs run
+    as dense 3D convolutions over halo'd 4^3 bricks.
+The engine is chosen by the type of the level objects passed to __call__.
+
 Module/parameter names deliberately mirror the reference attribute names
 (conv0p1s1, bn0, block1.conv1, ...) so the torch-checkpoint converter in
 sps_tpu/convert.py is a mechanical key map.
-
-All convs run on neighbor tables from sps_tpu.ops.topology, built once per
-forward and shared across layers at the same stride.
 """
 
 from __future__ import annotations
@@ -29,6 +34,7 @@ from typing import Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
+from sps_tpu.ops import brick as bk
 from sps_tpu.ops import sparse_conv as sc
 
 
@@ -57,13 +63,38 @@ def _kaiming(key, shape, dtype=jnp.float32):
     return jax.random.normal(key, shape, dtype) * std
 
 
+def _is_brick(lvl) -> bool:
+    return isinstance(lvl, bk.BrickLevel)
+
+
+def occ_of(lvl):
+    return lvl.grid.occ  # (V, T) or (B, 4, 4, 4, T)
+
+
+def mask_any(feats, occ):
+    if feats.ndim == 2:
+        return sc.mask_slots(feats, occ)
+    return bk.mask_bricks(feats, occ)
+
+
+def cat_time(a, b, num_time):
+    """Skip concat per time slot (ME.cat, minkunet.py:192-216): both
+    operands live on the same coordinate set."""
+    t = num_time
+    sa, sb = a.shape, b.shape
+    ca = a.reshape(sa[:-1] + (t, sa[-1] // t))
+    cb = b.reshape(sb[:-1] + (t, sb[-1] // t))
+    out = jnp.concatenate([ca, cb], axis=-1)
+    return out.reshape(sa[:-1] + (-1,))
+
+
 class MaskedBatchNorm(nn.Module):
     """BatchNorm over real (voxel, t) slots only (ME MinkowskiBatchNorm).
 
     Running stats follow torch conventions (momentum 0.1 on the *new*
     batch, unbiased variance in the running average) so converted
-    checkpoints evaluate identically.
-    """
+    checkpoints evaluate identically. Accepts feats (..., T*C) with
+    occ (..., T)."""
 
     features: int
     momentum: float = 0.1
@@ -77,9 +108,14 @@ class MaskedBatchNorm(nn.Module):
         ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((c,)))
         ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((c,)))
 
+        shp = feats.shape
+        t = occ.shape[-1]
+        f2 = feats.reshape(-1, shp[-1])
+        o2 = occ.reshape(-1, t)
+
         if train:
-            mean, var = sc.masked_batch_stats(feats, occ)
-            cnt = jnp.maximum(jnp.sum(occ), 2.0)
+            mean, var = sc.masked_batch_stats(f2, o2)
+            cnt = jnp.maximum(jnp.sum(o2), 2.0)
             unbiased = var * cnt / (cnt - 1.0)
             if not self.is_initializing():
                 m = self.momentum
@@ -88,16 +124,15 @@ class MaskedBatchNorm(nn.Module):
         else:
             mean, var = ra_mean.value, ra_var.value
 
-        v, tc = feats.shape
-        t = occ.shape[1]
-        x = feats.reshape(v, t, c)
+        x = f2.reshape(-1, t, c)
         inv = jnp.reciprocal(jnp.sqrt(var + self.eps))
         x = (x - mean) * (inv * scale) + bias
-        return sc.mask_slots(x.reshape(v, tc), occ)
+        out = sc.mask_slots(x.reshape(-1, shp[-1]), o2)
+        return out.reshape(shp)
 
 
 class SpConv(nn.Module):
-    """Stride-1 sparse conv over a prebuilt neighbor table."""
+    """Stride-1 sparse conv (either engine)."""
 
     cin: int
     cout: int
@@ -107,18 +142,27 @@ class SpConv(nn.Module):
     use_bias: bool = False  # ME MinkowskiConvolution default bias=False
 
     @nn.compact
-    def __call__(self, feats, nbr, occ):
+    def __call__(self, feats, lvl, occ):
         k = self.ksize**3
         w = self.param("kernel", _kaiming, (k, self.time_kernel, self.cin, self.cout))
-        wp = sc.pack_time_toeplitz(w.astype(feats.dtype), self.num_time)
+        w = w.astype(feats.dtype)
         if self.ksize == 1:
             bias = (
                 self.param("bias", nn.initializers.zeros, (self.cout,))
                 if self.use_bias
                 else None
             )
-            return sc.sparse_conv_1x1(feats, wp[0], occ, bias)
-        return sc.sparse_conv(feats, nbr, wp, occ)
+            wp = sc.pack_time_toeplitz(w, self.num_time)[0]
+            out = feats.reshape(-1, feats.shape[-1]) @ wp
+            if bias is not None:
+                out = out + jnp.tile(bias, self.num_time)
+            out = out.reshape(feats.shape[:-1] + (out.shape[-1],))
+            return mask_any(out, occ)
+        if _is_brick(lvl):
+            wd = bk.pack_dense_kernel(w, self.num_time)
+            return bk.brick_conv(feats, lvl.nbr27, wd, occ)
+        wp = sc.pack_time_toeplitz(w, self.num_time)
+        return sc.sparse_conv(feats, lvl.nbr[self.ksize], wp, occ)
 
 
 class SpConvDown(nn.Module):
@@ -129,10 +173,13 @@ class SpConvDown(nn.Module):
     num_time: int
 
     @nn.compact
-    def __call__(self, feats, child, occ_coarse):
+    def __call__(self, feats, coarse_lvl):
         w = self.param("kernel", _kaiming, (8, 1, self.cin, self.cout))
         wp = sc.pack_time_toeplitz(w.astype(feats.dtype), self.num_time)
-        return sc.sparse_conv_down(feats, child, wp, occ_coarse)
+        occ = occ_of(coarse_lvl)
+        if _is_brick(coarse_lvl):
+            return bk.brick_conv_down(feats, coarse_lvl.child, wp, occ)
+        return sc.sparse_conv_down(feats, coarse_lvl.child, wp, occ)
 
 
 class SpConvUp(nn.Module):
@@ -143,10 +190,13 @@ class SpConvUp(nn.Module):
     num_time: int
 
     @nn.compact
-    def __call__(self, feats, parent, parity, occ_fine):
+    def __call__(self, feats, fine_lvl):
         w = self.param("kernel", _kaiming, (8, 1, self.cin, self.cout))
         wp = sc.pack_time_toeplitz(w.astype(feats.dtype), self.num_time)
-        return sc.sparse_conv_up(feats, parent, parity, wp, occ_fine)
+        occ = occ_of(fine_lvl)
+        if _is_brick(fine_lvl):
+            return bk.brick_conv_up(feats, fine_lvl.parent, fine_lvl.oct, wp, occ)
+        return sc.sparse_conv_up(feats, fine_lvl.parent, fine_lvl.parity, wp, occ)
 
 
 class BasicBlock(nn.Module):
@@ -158,25 +208,25 @@ class BasicBlock(nn.Module):
     block_kernel: int = 3
 
     @nn.compact
-    def __call__(self, feats, nbr, occ, train: bool):
+    def __call__(self, feats, lvl, occ, train: bool):
         t = self.num_time
         out = SpConv(self.cin, self.planes, self.block_kernel, 3, t, name="conv1")(
-            feats, nbr, occ
+            feats, lvl, occ
         )
         out = MaskedBatchNorm(self.planes, name="norm1")(out, occ, train)
-        out = sc.mask_slots(nn.relu(out), occ)
+        out = mask_any(nn.relu(out), occ)
         out = SpConv(self.planes, self.planes, self.block_kernel, 3, t, name="conv2")(
-            out, nbr, occ
+            out, lvl, occ
         )
         out = MaskedBatchNorm(self.planes, name="norm2")(out, occ, train)
         if self.cin != self.planes:
             res = SpConv(self.cin, self.planes, 1, 1, t, name="downsample_conv")(
-                feats, None, occ
+                feats, lvl, occ
             )
             res = MaskedBatchNorm(self.planes, name="downsample_norm")(res, occ, train)
         else:
             res = feats
-        return sc.mask_slots(nn.relu(out + res), occ)
+        return mask_any(nn.relu(out + res), occ)
 
 
 def _blocks(name, n, cin, planes, num_time, block_kernel=3):
@@ -195,8 +245,8 @@ def _blocks(name, n, cin, planes, num_time, block_kernel=3):
 
 
 class MinkUNet(nn.Module):
-    """The UNet body. Inputs are (V0, T*in_channels) features plus the
-    prebuilt level pyramid (sps_tpu.ops.topology.build_levels, 5 levels)."""
+    """The UNet body. Inputs: level-0 features plus the prebuilt 5-level
+    pyramid (ops.topology.build_levels or ops.brick.build_brick_levels)."""
 
     cfg: MinkUNetConfig
 
@@ -207,81 +257,71 @@ class MinkUNet(nn.Module):
         p = cfg.planes
         d0 = cfg.init_dim
         l0, l1, l2, l3, l4 = levels
-        occ = [lv.grid.occ for lv in levels]
+        occ = [occ_of(lv) for lv in levels]
 
         def relu(x, o):
-            return sc.mask_slots(nn.relu(x), o)
+            return mask_any(nn.relu(x), o)
 
         # Stem (minkunet.py:55-62): kernel (5,5,5,1).
         x = SpConv(cfg.in_channels, d0, cfg.first_kernel, 1, t, name="conv0p1s1")(
-            feats, l0.nbr[cfg.first_kernel], occ[0]
+            feats, l0, occ[0]
         )
         x = MaskedBatchNorm(d0, name="bn0")(x, occ[0], train)
         out_p1 = relu(x, occ[0])
 
         # Encoder.
-        def down(x, name, cin, cout, fine, coarse, bnname):
-            y = SpConvDown(cin, cout, t, name=name)(x, coarse.child, coarse.grid.occ)
-            y = MaskedBatchNorm(cout, name=bnname)(y, coarse.grid.occ, train)
-            return relu(y, coarse.grid.occ)
+        def down(x, name, cin, cout, coarse, bnname, occ_c):
+            y = SpConvDown(cin, cout, t, name=name)(x, coarse)
+            y = MaskedBatchNorm(cout, name=bnname)(y, occ_c, train)
+            return relu(y, occ_c)
 
-        x = down(out_p1, "conv1p1s2", d0, d0, l0, l1, "bn1")
+        x = down(out_p1, "conv1p1s2", d0, d0, l1, "bn1", occ[1])
         for b in _blocks("block1", cfg.layers[0], d0, p[0], t, cfg.block_kernel):
-            x = b(x, l1.nbr[cfg.block_kernel], occ[1], train)
+            x = b(x, l1, occ[1], train)
         out_b1p2 = x
 
-        x = down(x, "conv2p2s2", p[0], p[0], l1, l2, "bn2")
+        x = down(x, "conv2p2s2", p[0], p[0], l2, "bn2", occ[2])
         for b in _blocks("block2", cfg.layers[1], p[0], p[1], t, cfg.block_kernel):
-            x = b(x, l2.nbr[cfg.block_kernel], occ[2], train)
+            x = b(x, l2, occ[2], train)
         out_b2p4 = x
 
-        x = down(x, "conv3p4s2", p[1], p[1], l2, l3, "bn3")
+        x = down(x, "conv3p4s2", p[1], p[1], l3, "bn3", occ[3])
         for b in _blocks("block3", cfg.layers[2], p[1], p[2], t, cfg.block_kernel):
-            x = b(x, l3.nbr[cfg.block_kernel], occ[3], train)
+            x = b(x, l3, occ[3], train)
         out_b3p8 = x
 
-        x = down(x, "conv4p8s2", p[2], p[2], l3, l4, "bn4")
+        x = down(x, "conv4p8s2", p[2], p[2], l4, "bn4", occ[4])
         for b in _blocks("block4", cfg.layers[3], p[2], p[3], t, cfg.block_kernel):
-            x = b(x, l4.nbr[cfg.block_kernel], occ[4], train)
+            x = b(x, l4, occ[4], train)
 
         # Decoder (minkunet.py:107-158,188-217).
-        def up(x, name, cin, cout, fine, bnname):
-            y = SpConvUp(cin, cout, t, name=name)(
-                x, fine.parent, fine.parity, fine.grid.occ
-            )
-            y = MaskedBatchNorm(cout, name=bnname)(y, fine.grid.occ, train)
-            return relu(y, fine.grid.occ)
+        def up(x, name, cin, cout, fine, bnname, occ_f):
+            y = SpConvUp(cin, cout, t, name=name)(x, fine)
+            y = MaskedBatchNorm(cout, name=bnname)(y, occ_f, train)
+            return relu(y, occ_f)
 
-        def cat(a, b, o):
-            # ME.cat concatenates features of the same coordinate set
-            # (minkunet.py:192-216); slots are (V, T*C) so concat per T.
-            v = a.shape[0]
-            ca = a.reshape(v, t, -1)
-            cb = b.reshape(v, t, -1)
-            return jnp.concatenate([ca, cb], axis=-1).reshape(v, -1)
-
-        x = up(x, "convtr4p16s2", p[3], p[4], l3, "bntr4")
-        x = cat(x, out_b3p8, occ[3])
+        x = up(x, "convtr4p16s2", p[3], p[4], l3, "bntr4", occ[3])
+        x = cat_time(x, out_b3p8, t)
         for b in _blocks("block5", cfg.layers[4], p[4] + p[2], p[4], t, cfg.block_kernel):
-            x = b(x, l3.nbr[cfg.block_kernel], occ[3], train)
+            x = b(x, l3, occ[3], train)
 
-        x = up(x, "convtr5p8s2", p[4], p[5], l2, "bntr5")
-        x = cat(x, out_b2p4, occ[2])
+        x = up(x, "convtr5p8s2", p[4], p[5], l2, "bntr5", occ[2])
+        x = cat_time(x, out_b2p4, t)
         for b in _blocks("block6", cfg.layers[5], p[5] + p[1], p[5], t, cfg.block_kernel):
-            x = b(x, l2.nbr[cfg.block_kernel], occ[2], train)
+            x = b(x, l2, occ[2], train)
 
-        x = up(x, "convtr6p4s2", p[5], p[6], l1, "bntr6")
-        x = cat(x, out_b1p2, occ[1])
+        x = up(x, "convtr6p4s2", p[5], p[6], l1, "bntr6", occ[1])
+        x = cat_time(x, out_b1p2, t)
         for b in _blocks("block7", cfg.layers[6], p[6] + p[0], p[6], t, cfg.block_kernel):
-            x = b(x, l1.nbr[cfg.block_kernel], occ[1], train)
+            x = b(x, l1, occ[1], train)
 
-        x = up(x, "convtr7p2s2", p[6], p[7], l0, "bntr7")
-        x = cat(x, out_p1, occ[0])
+        x = up(x, "convtr7p2s2", p[6], p[7], l0, "bntr7", occ[0])
+        x = cat_time(x, out_p1, t)
         for b in _blocks("block8", cfg.layers[7], p[7] + d0, p[7], t, cfg.block_kernel):
-            x = b(x, l0.nbr[cfg.block_kernel], occ[0], train)
+            x = b(x, l0, occ[0], train)
 
         # Head: 1x1 conv with bias (minkunet.py:152-158).
         x = SpConv(p[7], cfg.out_channels, 1, 1, t, use_bias=True, name="final")(
-            x, None, occ[0]
+            x, l0, occ[0]
         )
         return x

@@ -6,6 +6,11 @@ voxelize -> MinkUNet(in=1, out=1, D=4) -> devoxelize -> sigmoid, with the
 constant 0.5 input feature (models.py:22). Training/eval logic (losses,
 metrics, optimizer) lives in sps_tpu/train.py and sps_tpu/eval.py — the
 model itself is a pure function of (params, batch).
+
+Engine selection is static config: "brick" (dense-brick backend,
+ops/brick.py — TPU-fast) or "gather" (row-gather backend, ops/topology.py
++ ops/sparse_conv.py — the simple exact formulation both are tested
+against). Parameter trees are identical across engines.
 """
 
 from __future__ import annotations
@@ -16,6 +21,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from sps_tpu.models.minkunet import MinkUNet, MinkUNetConfig
+from sps_tpu.ops import brick as bk
 from sps_tpu.ops import topology as topo
 from sps_tpu.ops import voxelize as vox
 from sps_tpu.structs import Capacities, PointBatch
@@ -31,40 +37,57 @@ class SPSConfig:
     threshold: float = 0.84  # config/config.yaml:34
     caps: Capacities = Capacities()
     unet: MinkUNetConfig = MinkUNetConfig(in_channels=1, out_channels=1, num_time=2)
+    engine: str = "brick"  # "brick" | "gather"
 
 
 def build_levels_from_grid(grid, cfg: SPSConfig):
-    """Topology pyramid from an existing stride-1 VoxelGrid."""
-    ks = ((cfg.unet.first_kernel, cfg.unet.block_kernel),) + (
-        (cfg.unet.block_kernel,),
-    ) * (NUM_LEVELS - 1)
-    levels = topo.build_levels(
-        grid,
-        num_levels=NUM_LEVELS,
-        capacities=cfg.caps.voxels,
-        kernel_sizes=ks,
-    )
+    """Topology pyramid from an existing stride-1 grid (either engine)."""
+    if isinstance(grid, bk.BrickGrid):
+        levels = bk.build_brick_levels(
+            grid, num_levels=NUM_LEVELS, capacities=cfg.caps.bricks
+        )
+    else:
+        ks = ((cfg.unet.first_kernel, cfg.unet.block_kernel),) + (
+            (cfg.unet.block_kernel,),
+        ) * (NUM_LEVELS - 1)
+        levels = topo.build_levels(
+            grid,
+            num_levels=NUM_LEVELS,
+            capacities=cfg.caps.voxels,
+            kernel_sizes=ks,
+        )
     overflow = jnp.stack([lv.grid.overflow for lv in levels])
     return levels, overflow
 
 
 def build_pyramid(pb: PointBatch, cfg: SPSConfig):
-    """Voxelize a point batch and build the 5-level topology pyramid.
+    """Voxelize a point batch and build the topology pyramid.
 
-    Returns (levels, point2voxel, overflow_flags). Parameter-free; kept
-    outside the flax module so streaming callers can reuse/precompute it.
-    """
+    Returns (levels, point2slot, overflow). point2slot indexes the flat
+    (rows, T, C) voxel view of level 0 (rows = V for gather, B*64 for
+    brick). Parameter-free; kept outside the flax module so streaming
+    callers can reuse/precompute it."""
     coords = vox.quantize(pb.xyz, cfg.voxel_size)
-    grid, p2v, _ = vox.voxelize(
-        coords,
-        pb.batch,
-        pb.t,
-        pb.valid,
-        num_time=cfg.unet.num_time,
-        voxel_capacity=cfg.caps.voxels[0],
-    )
+    if cfg.engine == "brick":
+        grid, p2s = bk.voxelize_bricks(
+            coords,
+            pb.batch,
+            pb.t,
+            pb.valid,
+            num_time=cfg.unet.num_time,
+            brick_capacity=cfg.caps.bricks[0],
+        )
+    else:
+        grid, p2s, _ = vox.voxelize(
+            coords,
+            pb.batch,
+            pb.t,
+            pb.valid,
+            num_time=cfg.unet.num_time,
+            voxel_capacity=cfg.caps.voxels[0],
+        )
     levels, overflow = build_levels_from_grid(grid, cfg)
-    return levels, p2v, overflow
+    return levels, p2s, overflow
 
 
 class SPSModel(nn.Module):
@@ -86,7 +109,7 @@ class SPSModel(nn.Module):
 
         Two entry modes:
           * pb: voxelizes the PointBatch (offline train/predict path).
-          * grid/p2v/t_idx/valid: a precomputed stride-1 VoxelGrid whose
+          * grid/p2v/t_idx/valid: a precomputed stride-1 grid whose
             occupancy already encodes scan/map presence — the streaming
             path (the reference's online prune at util.py:85-114 reduces
             to occupancy bits here, so no submap cloud is materialized).
@@ -99,10 +122,10 @@ class SPSModel(nn.Module):
         else:
             levels, overflow = build_levels_from_grid(grid, cfg)
         # Constant 0.5 input feature on occupied slots (models.py:22).
-        feats0 = 0.5 * jnp.repeat(levels[0].grid.occ, cfg.unet.in_channels, axis=-1)
+        occ0 = levels[0].grid.occ
+        feats0 = 0.5 * jnp.repeat(occ0, cfg.unet.in_channels, axis=-1)
         out = MinkUNet(cfg.unet, name="MinkUNet")(feats0, levels, train)
-        v = out.shape[0]
-        out3 = out.reshape(v, t, cfg.unet.out_channels)
+        out3 = out.reshape(-1, t, cfg.unet.out_channels)
         per_point = vox.devoxelize(out3, p2v, t_idx)[:, 0]
         scores = nn.sigmoid(per_point) * valid.astype(per_point.dtype)
         return scores, {"overflow": overflow, "point2voxel": p2v}

@@ -82,6 +82,7 @@ def dryrun(n_devices: int) -> None:
             submap_points=256,
             cell_capacity=1024,
             voxels=(1024, 512, 256, 128, 64),
+            bricks=(512, 256, 128, 128, 128),
         ),
     )
     mesh = make_mesh(n_devices)

@@ -66,6 +66,34 @@ def build_map_table(map_points: np.ndarray, voxel_size: float, capacity: int | N
     return table, nvox
 
 
+def build_map_bricks(
+    map_points: np.ndarray, voxel_size: float, capacity: int | None = None
+):
+    """Brick-engine map residency: one-time brick grid of the map whose
+    per-voxel occupancy masks answer the overlap ("prune") query with a
+    single brick-table lookup per scan brick."""
+    from sps_tpu.ops import brick as bk
+
+    m = len(map_points)
+    if capacity is None:
+        capacity = vhash.next_pow2(max(m // 8, 1024))
+
+    @jax.jit
+    def build(points):
+        coords = vox.quantize(points, voxel_size)
+        grid, _ = bk.voxelize_bricks(
+            coords,
+            jnp.zeros((m,), jnp.int32),
+            jnp.zeros((m,), jnp.int32),
+            jnp.ones((m,), bool),
+            num_time=1,
+            brick_capacity=capacity,
+        )
+        return grid
+
+    return build(jnp.asarray(map_points))
+
+
 class StreamingFilter:
     """Holds the resident map + compiled per-scan function."""
 
@@ -75,21 +103,78 @@ class StreamingFilter:
         self.sps_cfg = cfg.sps_config(batch_size=1)
         self.model = SPSModel(self.sps_cfg)
         self.variables = variables
-        self.map_table, self.map_voxels = build_map_table(
-            map_points, cfg.voxel_size
-        )
+        if cfg.tpu.engine == "brick":
+            self.map_grid = build_map_bricks(map_points, cfg.voxel_size)
+            self._fn = self._make_brick_fn()
+        else:
+            self.map_table, self.map_voxels = build_map_table(
+                map_points, cfg.voxel_size
+            )
+            self._fn = self._make_gather_fn()
         self.eps = cfg.threshold
-        self._fn = self._make_fn()
 
-    def _make_fn(self):
+    def _make_brick_fn(self):
+        from sps_tpu.ops import brick as bk
+
         cfg = self.cfg
         model = self.model
-        eps = self.eps
+        eps = cfg.threshold
         vsize = cfg.voxel_size
-        vcap = cfg.tpu.voxels[0]
+        bcap = cfg.tpu.bricks[0]
+        map_grid = self.map_grid
 
         @jax.jit
-        def fn(variables, map_table, scan_xyz, valid, labels, pose):
+        def fn(variables, scan_xyz, valid, labels, pose):
+            xyz = transform_points(scan_xyz, pose)
+            coords = vox.quantize(xyz, vsize)
+            n = scan_xyz.shape[0]
+            grid, p2s = bk.voxelize_bricks(
+                coords,
+                jnp.zeros((n,), jnp.int32),
+                jnp.ones((n,), jnp.int32),  # scan time slot = 1
+                valid,
+                num_time=2,
+                brick_capacity=bcap,
+            )
+            # Overlap "prune": one map-brick lookup per scan brick; the
+            # map channel's occupancy = scan-voxel AND map-voxel.
+            bvalid = jnp.arange(bcap) < grid.num_bricks
+            mrow = vhash.lookup(map_grid.table, grid.coords, bvalid)
+            mocc = bk.take_rows(map_grid.occ, mrow)[..., 0]  # (B,4,4,4)
+            overlap = grid.occ[..., 1] * mocc
+            occ = grid.occ.at[..., 0].set(overlap)
+            grid2 = grid._replace(occ=occ)
+            scores, aux = model.apply(
+                variables,
+                grid=grid2,
+                p2v=p2s,
+                t_idx=jnp.ones((n,), jnp.int32),
+                valid=valid,
+            )
+            keep = (scores <= eps) & valid  # sps_node.py:148
+            stats = {
+                "loss": met.masked_mse(scores, labels, valid),
+                "r2": met.masked_r2(scores, labels, valid),
+                **met.classification_metrics(scores, labels, valid, eps),
+                "n_scan_voxels": jnp.sum(grid.occ[..., 1]).astype(jnp.int32),
+                "n_submap_voxels": jnp.sum(overlap).astype(jnp.int32),
+                "n_kept": jnp.sum(keep.astype(jnp.int32)),
+                "overflow": jnp.any(aux["overflow"]),
+            }
+            return scores, keep, stats
+
+        return fn
+
+    def _make_gather_fn(self):
+        cfg = self.cfg
+        model = self.model
+        eps = cfg.threshold
+        vsize = cfg.voxel_size
+        vcap = cfg.tpu.voxels[0]
+        map_table = self.map_table
+
+        @jax.jit
+        def fn(variables, scan_xyz, valid, labels, pose):
             xyz = transform_points(scan_xyz, pose)
             coords = vox.quantize(xyz, vsize)
             n = scan_xyz.shape[0]
@@ -133,7 +218,6 @@ class StreamingFilter:
         stats) device arrays. Callers time with block_until_ready."""
         return self._fn(
             self.variables,
-            self.map_table,
             jnp.asarray(scan_xyz),
             jnp.asarray(valid),
             jnp.asarray(labels),

@@ -62,10 +62,16 @@ def pad_point_batch(
 class Capacities:
     """Static shape budget. Chosen so variable-size scans (1e4–1e6 points,
     SURVEY.md §6) compile once and never recompile; overflow is reported as
-    data (VoxelGrid.overflow), not as a shape change."""
+    data (VoxelGrid.overflow), not as a shape change.
+
+    voxels: per-level row capacities for the gather engine.
+    bricks: per-level 4^3-brick capacities for the brick engine (bricks
+    shrink slower than voxels under downsampling: halving coordinates
+    merges 8 bricks only where they are all occupied)."""
 
     points: int = 1 << 18
     voxels: tuple = (1 << 17, 1 << 15, 1 << 13, 1 << 11, 1 << 9)
+    bricks: tuple = (1 << 14, 1 << 13, 1 << 12, 1 << 11, 1 << 10)
 
     def scaled(self, factor: float) -> "Capacities":
         def rup(x):
@@ -77,4 +83,5 @@ class Capacities:
         return Capacities(
             points=rup(int(self.points * factor)),
             voxels=tuple(rup(int(v * factor)) for v in self.voxels),
+            bricks=tuple(rup(int(v * factor)) for v in self.bricks),
         )

@@ -17,7 +17,11 @@ from sps_tpu.ops import voxelize as vox
 from tests import sparse_ref as ref
 
 T = 2
-CAPS = Capacities(points=2048, voxels=(1024, 512, 512, 256, 128))
+CAPS = Capacities(
+    points=2048,
+    voxels=(1024, 512, 512, 256, 128),
+    bricks=(1024, 512, 256, 256, 256),
+)
 CFG = SPSConfig(
     voxel_size=0.25,
     caps=CAPS,
@@ -28,6 +32,7 @@ CFG = SPSConfig(
         planes=(4, 8, 8, 8, 8, 8, 8, 4),
         num_time=T,
     ),
+    engine="gather",
 )
 
 
@@ -159,6 +164,24 @@ def test_spsmodel_matches_dense_reference():
             want[i] = 1.0 / (1.0 + np.exp(-d_out[key][0]))
     got = _np(scores)
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-4)
+
+
+def test_brick_engine_matches_gather_engine():
+    """The two backends must produce identical per-point scores from the
+    same parameters (trees are identical by construction)."""
+    import dataclasses
+
+    rng = np.random.default_rng(7)
+    pb = _batch(rng, 500)
+    cfg_b = dataclasses.replace(CFG, engine="brick")
+    model_g = SPSModel(CFG)
+    model_b = SPSModel(cfg_b)
+    variables = model_g.init(jax.random.PRNGKey(0), pb)
+    sg, auxg = jax.jit(lambda v, b: model_g.apply(v, b))(variables, pb)
+    sb, auxb = jax.jit(lambda v, b: model_b.apply(v, b))(variables, pb)
+    assert not bool(np.asarray(auxg["overflow"]).any())
+    assert not bool(np.asarray(auxb["overflow"]).any())
+    np.testing.assert_allclose(np.asarray(sb), np.asarray(sg), rtol=2e-3, atol=2e-4)
 
 
 def test_train_mode_updates_batch_stats():

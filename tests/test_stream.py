@@ -31,6 +31,7 @@ def _small_cfg():
             submap_points=1024,
             cell_capacity=4096,
             voxels=(4096, 2048, 1024, 512, 256),
+            bricks=(1024, 512, 256, 256, 256),
         ),
     )
 
