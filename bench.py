@@ -116,6 +116,7 @@ def main():
         "mean_scan_points": int(mean_pts),
         "scan_voxels": int(stats["n_scan_voxels"]),
         "submap_voxels": int(stats["n_submap_voxels"]),
+        "overflow": bool(stats["overflow"]),
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))

@@ -71,17 +71,34 @@ class Config:
         )
 
     def sps_config(self, batch_size: int | None = None) -> SPSConfig:
+        import jax.numpy as jnp
+
         bs = batch_size if batch_size is not None else self.train.batch_size
+        # Voxel/brick capacities in the YAML are budgeted for the training
+        # batch size; smaller batches (streaming uses 1) scale down so the
+        # compiled program does proportionally less work.
+        def rup(x):
+            p = 512
+            while p < x:
+                p *= 2
+            return p
+
+        factor = bs / max(self.train.batch_size, 1)
         caps = Capacities(
             points=bs * (self.tpu.scan_points + self.tpu.submap_points),
-            voxels=self.tpu.voxels,
-            bricks=self.tpu.bricks,
+            voxels=tuple(rup(int(v * factor)) for v in self.tpu.voxels),
+            bricks=tuple(rup(int(v * factor)) for v in self.tpu.bricks),
         )
         return SPSConfig(
             voxel_size=self.voxel_size,
             threshold=self.threshold,
             caps=caps,
-            unet=MinkUNetConfig(in_channels=1, out_channels=1, num_time=2),
+            unet=MinkUNetConfig(
+                in_channels=1,
+                out_channels=1,
+                num_time=2,
+                dtype=jnp.bfloat16 if self.tpu.bf16 else jnp.float32,
+            ),
             engine=self.tpu.engine,
         )
 

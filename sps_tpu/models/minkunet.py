@@ -109,8 +109,9 @@ class MaskedBatchNorm(nn.Module):
         ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((c,)))
 
         shp = feats.shape
+        dtype = feats.dtype
         t = occ.shape[-1]
-        f2 = feats.reshape(-1, shp[-1])
+        f2 = feats.reshape(-1, shp[-1]).astype(jnp.float32)
         o2 = occ.reshape(-1, t)
 
         if train:
@@ -128,7 +129,7 @@ class MaskedBatchNorm(nn.Module):
         inv = jnp.reciprocal(jnp.sqrt(var + self.eps))
         x = (x - mean) * (inv * scale) + bias
         out = sc.mask_slots(x.reshape(-1, shp[-1]), o2)
-        return out.reshape(shp)
+        return out.reshape(shp).astype(dtype)
 
 
 class SpConv(nn.Module):

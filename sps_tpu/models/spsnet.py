@@ -123,9 +123,11 @@ class SPSModel(nn.Module):
             levels, overflow = build_levels_from_grid(grid, cfg)
         # Constant 0.5 input feature on occupied slots (models.py:22).
         occ0 = levels[0].grid.occ
-        feats0 = 0.5 * jnp.repeat(occ0, cfg.unet.in_channels, axis=-1)
+        feats0 = (0.5 * jnp.repeat(occ0, cfg.unet.in_channels, axis=-1)).astype(
+            cfg.unet.dtype
+        )
         out = MinkUNet(cfg.unet, name="MinkUNet")(feats0, levels, train)
-        out3 = out.reshape(-1, t, cfg.unet.out_channels)
+        out3 = out.reshape(-1, t, cfg.unet.out_channels).astype(jnp.float32)
         per_point = vox.devoxelize(out3, p2v, t_idx)[:, 0]
         scores = nn.sigmoid(per_point) * valid.astype(per_point.dtype)
         return scores, {"overflow": overflow, "point2voxel": p2v}

@@ -80,12 +80,15 @@ def voxelize_bricks(
     *,
     num_time: int,
     brick_capacity: int,
-) -> tuple[BrickGrid, jnp.ndarray]:
+    features: jnp.ndarray | None = None,
+) -> tuple[BrickGrid, jnp.ndarray] | tuple[BrickGrid, jnp.ndarray, jnp.ndarray]:
     """Dedup integer voxel coords into bricks.
 
-    Returns (grid, point2slot) where point2slot is the flat index
+    Returns (grid, point2slot[, pooled]) where point2slot is the flat index
     brick_row * 64 + local into the (B*64,) voxel view (-1 invalid) —
     directly usable with ops.voxelize.devoxelize on (B*64, T, C) arrays.
+    With `features` (N, C), also returns (B, 4,4,4, T*C) mean-pooled
+    per-slot features (ME UNWEIGHTED_AVERAGE, as in ops.voxelize).
     """
     n = coords.shape[0]
     bc = coords >> 2  # arithmetic shift = floor-div for negatives
@@ -127,7 +130,24 @@ def voxelize_bricks(
         table=table,
         overflow=overflow,
     )
-    return grid, point2slot
+    if features is None:
+        return grid, point2slot
+    c = features.shape[-1]
+    tcl = jnp.clip(t_idx, 0, num_time - 1)
+    w = valid.astype(features.dtype)
+    cnt = (
+        jnp.zeros((brick_capacity + 1, BVOL, num_time), features.dtype)
+        .at[pb, lflat, tcl]
+        .add(w)
+    )
+    sums = (
+        jnp.zeros((brick_capacity + 1, BVOL, num_time, c), features.dtype)
+        .at[pb, lflat, tcl]
+        .add(features * w[:, None])
+    )
+    pooled = sums[:brick_capacity] / jnp.maximum(cnt[:brick_capacity, :, :, None], 1.0)
+    pooled = pooled.reshape(brick_capacity, BS, BS, BS, num_time * c)
+    return grid, point2slot, pooled
 
 
 def _brick_lookup(grid: BrickGrid, offsets: np.ndarray) -> jnp.ndarray:
@@ -304,9 +324,16 @@ def brick_conv(
         padding="VALID",
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        # f32 inputs get full-precision accumulation (the CPU/GPU conv
+        # otherwise drops to bf16-equivalent); bf16 inputs keep the fast
+        # native path with f32 accumulation via preferred_element_type.
+        precision=(
+            jax.lax.Precision.HIGHEST
+            if feats.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT
+        ),
     )
-    return mask_bricks(out, occ)
+    return mask_bricks(out.astype(feats.dtype), occ)
 
 
 def brick_conv_down(

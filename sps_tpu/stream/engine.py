@@ -120,7 +120,7 @@ class StreamingFilter:
         model = self.model
         eps = cfg.threshold
         vsize = cfg.voxel_size
-        bcap = cfg.tpu.bricks[0]
+        bcap = self.sps_cfg.caps.bricks[0]
         map_grid = self.map_grid
 
         @jax.jit
@@ -170,7 +170,7 @@ class StreamingFilter:
         model = self.model
         eps = cfg.threshold
         vsize = cfg.voxel_size
-        vcap = cfg.tpu.voxels[0]
+        vcap = self.sps_cfg.caps.voxels[0]
         map_table = self.map_table
 
         @jax.jit
