@@ -19,6 +19,7 @@ import os
 
 import numpy as np
 
+from sps_tpu import native
 from sps_tpu.config import Config
 
 
@@ -47,7 +48,7 @@ def load_sequences(root: str, seqs) -> SequenceData:
         assert len(names) == len(poses), f"scan/pose count mismatch in {seq}"
         map_tr = np.loadtxt(os.path.join(sdir, "map_transform"), delimiter=",")
         for sn, pn in zip(names, poses):
-            scan = np.load(os.path.join(scan_dir, sn)).astype(np.float32)
+            scan = native.load_npy_f32(os.path.join(scan_dir, sn))
             pose = np.loadtxt(os.path.join(pose_dir, pn), delimiter=",")
             scan[:, :3] = _apply(map_tr, _apply(pose, scan[:, :3]))
             scans.append(scan)
@@ -58,7 +59,11 @@ def load_map(root: str, map_file: str) -> np.ndarray:
     """(M, 3) float32 map points (labels, if present, are dropped —
     blt_dataset.py:49-55 keeps [:, :4]; only xyz feeds the pipeline)."""
     path = os.path.join(root, "maps", map_file)
-    arr = np.load(path) if path.endswith(".npy") else np.loadtxt(path, dtype=np.float32)
+    arr = (
+        native.load_npy_f32(path)
+        if path.endswith(".npy")
+        else np.loadtxt(path, dtype=np.float32)
+    )
     return np.ascontiguousarray(arr[:, :3], dtype=np.float32)
 
 
