@@ -55,6 +55,23 @@ def load_sequences(root: str, seqs) -> SequenceData:
     return SequenceData(scans)
 
 
+def load_sequences_raw(root: str, seqs) -> tuple[list[np.ndarray], list[np.ndarray]]:
+    """Sensor-frame scans + ground-truth poses (pose then map_transform
+    composed), for localization experiments where the pose is estimated
+    rather than given (SURVEY.md §3.4)."""
+    scans, poses = [], []
+    for seq in seqs:
+        sdir = os.path.join(root, "sequence", seq)
+        names = sorted(os.listdir(os.path.join(sdir, "scans")))
+        pnames = sorted(os.listdir(os.path.join(sdir, "poses")))
+        map_tr = np.loadtxt(os.path.join(sdir, "map_transform"), delimiter=",")
+        for sn, pn in zip(names, pnames):
+            scans.append(native.load_npy_f32(os.path.join(sdir, "scans", sn)))
+            pose = np.loadtxt(os.path.join(sdir, "poses", pn), delimiter=",")
+            poses.append(map_tr @ pose)
+    return scans, poses
+
+
 def load_map(root: str, map_file: str) -> np.ndarray:
     """(M, 3) float32 map points (labels, if present, are dropped —
     blt_dataset.py:49-55 keeps [:, :4]; only xyz feeds the pipeline)."""

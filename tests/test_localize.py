@@ -1,0 +1,65 @@
+"""Localization loop: replay -> filter -> on-device ICP -> ATE."""
+
+import numpy as np
+import jax
+import pytest
+
+import sps_tpu.config as cfg_mod
+from sps_tpu import train as tr
+from sps_tpu.data import synthetic
+from sps_tpu.stream import localize
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("loc"))
+    synthetic.generate(
+        root,
+        sequences=("20220629",),
+        scans_per_seq=4,
+        seed=3,
+        extent=10.0,
+        n_rays=400,
+        ground_points=6000,
+        n_stable=10,
+    )
+    import os
+
+    cfg = cfg_mod.load(
+        os.path.join(os.path.dirname(__file__), "..", "config", "config_small.yaml"),
+        data_root=root,
+    )
+    state = tr.create_state(cfg, jax.random.PRNGKey(0), 1)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    return cfg, variables
+
+
+@pytest.mark.parametrize("mode", ["raw", "sps"])
+def test_localization_ate(setup, mode):
+    cfg, variables = setup
+    out = localize.run_localization(
+        cfg,
+        variables,
+        "20220629",
+        filter_mode=mode,
+        icp_iters=15,
+        init_noise=0.15,
+        prior="odom",
+        log=lambda *a, **k: None,
+    )
+    # The registration must track the loop to well under a voxel-ish ATE.
+    assert out["ate_rmse"] < 0.25, out
+    assert out["n_scans"] == 4
+    if mode == "sps":
+        assert 0 < out["kept_frac_mean"] <= 1.0
+
+
+def test_cv_predict_constant_motion():
+    delta = np.eye(4)
+    delta[:3, 3] = [1.0, 0.0, 0.0]
+    poses = [np.eye(4)]
+    for _ in range(3):
+        poses.append(poses[-1] @ delta)
+    pred = localize.cv_predict(poses)
+    want = poses[-1] @ delta
+    np.testing.assert_allclose(pred, want, atol=1e-6)
