@@ -14,10 +14,20 @@ import click
 @click.option("--root", type=str, required=True)
 @click.option("--scans-per-seq", type=int, default=12)
 @click.option("--seed", type=int, default=0)
-def main(root, scans_per_seq, seed):
+@click.option("--n-rays", type=int, default=400,
+              help="scan density; 400 -> ~6k pts/scan (fits config_small), "
+                   "use ~8000 for BLT-scale ~120k pts (config.yaml)")
+@click.option("--ground-points", type=int, default=22000)
+def main(root, scans_per_seq, seed, n_rays, ground_points):
     from sps_tpu.data import synthetic
 
-    synthetic.generate(root, scans_per_seq=scans_per_seq, seed=seed)
+    synthetic.generate(
+        root,
+        scans_per_seq=scans_per_seq,
+        seed=seed,
+        n_rays=n_rays,
+        ground_points=ground_points,
+    )
     print(f"synthetic dataset written to {root}")
 
 

@@ -150,6 +150,39 @@ class MapMOSFilter:
         return np.asarray(logits[:n]) <= 0
 
 
+class LTSFilter:
+    """Range-image LTS filter: project -> window -> SPCTReg -> threshold.
+
+    Equivalent of the reference's lts_filter node
+    (c_ws/src/inference_model/lts_filter/scripts/stability_filter.py:134-200):
+    the scan is projected to a (beams, 1024) range image, split into
+    azimuth windows, each window scored by the offset-attention
+    transformer; points with score > epsilon are dropped."""
+
+    def __init__(self, variables, lidar: str = "vlp-16", epsilon: float = 0.84):
+        from sps_tpu.data import range_image as ri
+        from sps_tpu.models.lts import SPCTReg
+
+        self.ri = ri
+        self.lidar = lidar
+        self.eps = epsilon
+        self.model = SPCTReg()
+        self.variables = variables
+        self._fn = jax.jit(lambda v, x: self.model.apply(v, x))
+
+    def __call__(self, scan: np.ndarray):
+        """scan (N, 4) [x, y, z, label]; returns the kept (M, 4) points
+        (range-image resampled, like the reference node's output)."""
+        img = self.ri.project(scan, self.lidar)
+        wins, labels = self.ri.windows(img, self.lidar)
+        scores = np.asarray(self._fn(self.variables, jnp.asarray(wins)))
+        pts = wins.reshape(-1, 3)
+        s = scores.reshape(-1)
+        occupied = (np.abs(pts).sum(axis=1) > 0)
+        keep = (s <= self.eps) & occupied
+        return np.column_stack([pts[keep], s[keep]])
+
+
 class MaskFilter:
     """Model-free voxel-overlap filter (mask.py): keep scan points whose
     voxel contains at least one map point."""

@@ -78,3 +78,19 @@ def test_mask_filter_exact():
     # Points near map points share voxels (mostly); far points never do.
     assert keep[:50].mean() > 0.8
     assert not keep[50:].any()
+
+
+def test_lts_filter_node():
+    rng = np.random.default_rng(3)
+    from sps_tpu.models.lts import SPCTReg
+    import jax.numpy as jnp
+
+    model = SPCTReg()
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16 * 128, 3)))
+    filt = baselines.LTSFilter(variables, "vlp-16", epsilon=0.9)
+    pts = rng.normal(size=(3000, 3)).astype(np.float32) * np.array([8, 8, 1])
+    scan = np.column_stack([pts, rng.uniform(0, 1, 3000).astype(np.float32)])
+    out = filt(scan)
+    assert out.shape[1] == 4
+    assert 0 < len(out) <= 16 * 1024
+    assert (out[:, 3] <= 0.9).all()
