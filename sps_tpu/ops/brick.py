@@ -303,6 +303,25 @@ def mask_bricks(feats: jnp.ndarray, occ: jnp.ndarray) -> jnp.ndarray:
     return x.reshape(shp)
 
 
+def _conv3d(x, w, padding):
+    return jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(1, 1, 1),
+        padding=padding,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=jnp.float32,
+        # f32 inputs get full-precision accumulation (the CPU/GPU conv
+        # otherwise drops to bf16-equivalent); bf16 inputs keep the fast
+        # native path with f32 accumulation via preferred_element_type.
+        precision=(
+            jax.lax.Precision.HIGHEST
+            if x.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT
+        ),
+    )
+
+
 def brick_conv(
     feats: jnp.ndarray,
     nbr27: jnp.ndarray,
@@ -313,26 +332,42 @@ def brick_conv(
 
     w_dense: (k, k, k, T*Cin, T*Cout) in x-slowest offset order (matches
     ops.topology.kernel_offsets; XLA convs are cross-correlations so no
-    flip)."""
+    flip).
+
+    Kernel 3 uses a region-decomposed form: a SAME conv over own-brick
+    voxels plus one small conv per neighbor region (6 faces, 12 edges, 8
+    corners), each adding into the output boundary slice. This avoids
+    materializing the (B, 6,6,6, C) halo tensor (3x less HBM traffic —
+    the halo'd tensor is larger than all slabs combined). Larger kernels
+    (the 5^3 stem, C small) keep the materialized-halo path.
+    """
     k = w_dense.shape[0]
     pad = k // 2
-    h = halo(feats, nbr27, pad)
-    out = jax.lax.conv_general_dilated(
-        h,
-        w_dense,
-        window_strides=(1, 1, 1),
-        padding="VALID",
-        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        preferred_element_type=jnp.float32,
-        # f32 inputs get full-precision accumulation (the CPU/GPU conv
-        # otherwise drops to bf16-equivalent); bf16 inputs keep the fast
-        # native path with f32 accumulation via preferred_element_type.
-        precision=(
-            jax.lax.Precision.HIGHEST
-            if feats.dtype == jnp.float32
-            else jax.lax.Precision.DEFAULT
-        ),
-    )
+    if k != 3:
+        h = halo(feats, nbr27, pad)
+        out = _conv3d(h, w_dense, "VALID")
+        return mask_bricks(out.astype(feats.dtype), occ)
+
+    # Center contribution: SAME conv within the brick.
+    out = _conv3d(feats, w_dense, "SAME")
+    # Neighbor-region contributions.
+    def spans(d):
+        # (src slice in neighbor, kernel slice, out slice, padding)
+        if d == -1:
+            return slice(BS - 1, BS), slice(0, 1), slice(0, 1), (0, 0)
+        if d == 0:
+            return slice(0, BS), slice(0, 3), slice(0, BS), (1, 1)
+        return slice(0, 1), slice(2, 3), slice(BS - 1, BS), (0, 0)
+
+    for kk, (dx, dy, dz) in enumerate(OFFS27):
+        if (dx, dy, dz) == (0, 0, 0):
+            continue
+        sx, kx, ox, px = spans(dx)
+        sy, ky, oy, py = spans(dy)
+        sz, kz, oz, pz = spans(dz)
+        slab = take_rows(feats[:, sx, sy, sz], nbr27[kk])
+        contrib = _conv3d(slab, w_dense[kx, ky, kz], (px, py, pz))
+        out = out.at[:, ox, oy, oz].add(contrib)
     return mask_bricks(out.astype(feats.dtype), occ)
 
 

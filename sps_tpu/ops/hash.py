@@ -29,6 +29,12 @@ import jax.numpy as jnp
 # Sentinel for "no row" in table slots and failed lookups.
 EMPTY = -1
 
+# Sentinel coordinate stored in vacant slots' keys (matches
+# ops.voxelize.PAD_COORD so padded-row queries are also out of range).
+# Lets the lookup loop decide match/empty/continue from the keys gather
+# alone — one gather per probe round instead of two.
+SENTINEL = 1 << 24
+
 # Default bound on probe rounds; with load factor <= 0.5 the longest probe
 # cluster is far below this in practice. The loops also exit early once all
 # rows resolve.
@@ -128,7 +134,7 @@ def build(
 
     init = (
         jnp.full((capacity,), EMPTY, jnp.int32),
-        jnp.zeros((capacity, 4), jnp.int32),
+        jnp.full((capacity, 4), SENTINEL, jnp.int32),
         jnp.full((n,), EMPTY, jnp.int32),
         valid,
         jnp.zeros((n,), jnp.int32),
@@ -156,20 +162,23 @@ def lookup(
     if valid is None:
         valid = jnp.ones((m,), bool)
 
+    # One gather (keys) per probe round: vacant slots hold SENTINEL keys,
+    # so match/empty/continue are all decided from the keys alone; the
+    # row values are fetched once at the end for resolved slots.
     def cond(state):
-        result, done, probe, rnd = state
+        found_slot, done, probe, rnd = state
         return jnp.logical_and(jnp.any(~done), rnd < max_rounds)
 
     def body(state):
-        result, done, probe, rnd = state
+        found_slot, done, probe, rnd = state
         slot = (h0 + probe) & (capacity - 1)
-        occupant = table.rows[slot]
-        is_empty = occupant < 0
-        match = ~is_empty & jnp.all(table.keys[slot] == queries, axis=-1)
-        result = jnp.where(~done & match, occupant, result)
+        k = table.keys[slot]
+        match = jnp.all(k == queries, axis=-1)
+        is_empty = k[:, 0] >= SENTINEL
+        found_slot = jnp.where(~done & match, slot, found_slot)
         done = done | match | is_empty
         probe = probe + (~done).astype(jnp.int32)
-        return result, done, probe, rnd + 1
+        return found_slot, done, probe, rnd + 1
 
     init = (
         jnp.full((m,), EMPTY, jnp.int32),
@@ -177,8 +186,9 @@ def lookup(
         jnp.zeros((m,), jnp.int32),
         jnp.int32(0),
     )
-    result, _, _, _ = jax.lax.while_loop(cond, body, init)
-    return result
+    found_slot, _, _, _ = jax.lax.while_loop(cond, body, init)
+    result = table.rows[jnp.clip(found_slot, 0)]
+    return jnp.where(found_slot >= 0, result, EMPTY)
 
 
 def next_pow2(x: int) -> int:
