@@ -144,27 +144,11 @@ def build(
     return HashTable(keys=keys, rows=rows), slot_of
 
 
-def lookup(
-    table: HashTable,
-    queries: jnp.ndarray,
-    valid: jnp.ndarray | None = None,
-    max_rounds: int = MAX_ROUNDS,
-) -> jnp.ndarray:
-    """Look up (M, 4) int32 queries; returns (M,) row ids or EMPTY (-1).
-
-    A query terminates at the first empty slot on its probe path (correct
-    for linear probing without deletions).
-    """
+def _probe_loop(table, queries, h0, found_slot, done, probe, max_rounds):
+    """Shared probe loop: one keys-gather per round (vacant slots hold
+    SENTINEL keys, so match/empty/continue need no rows gather)."""
     capacity = table.capacity
-    queries = queries.astype(jnp.int32)
-    m = queries.shape[0]
-    h0 = _slot0(queries, capacity)
-    if valid is None:
-        valid = jnp.ones((m,), bool)
 
-    # One gather (keys) per probe round: vacant slots hold SENTINEL keys,
-    # so match/empty/continue are all decided from the keys alone; the
-    # row values are fetched once at the end for resolved slots.
     def cond(state):
         found_slot, done, probe, rnd = state
         return jnp.logical_and(jnp.any(~done), rnd < max_rounds)
@@ -180,13 +164,80 @@ def lookup(
         probe = probe + (~done).astype(jnp.int32)
         return found_slot, done, probe, rnd + 1
 
-    init = (
-        jnp.full((m,), EMPTY, jnp.int32),
-        ~valid,
-        jnp.zeros((m,), jnp.int32),
-        jnp.int32(0),
+    found_slot, done, probe, _ = jax.lax.while_loop(
+        cond, body, (found_slot, done, probe, jnp.int32(0))
     )
-    found_slot, _, _, _ = jax.lax.while_loop(cond, body, init)
+    return found_slot, done, probe
+
+
+def lookup(
+    table: HashTable,
+    queries: jnp.ndarray,
+    valid: jnp.ndarray | None = None,
+    max_rounds: int = MAX_ROUNDS,
+    narrow_div: int = 4,
+) -> jnp.ndarray:
+    """Look up (M, 4) int32 queries; returns (M,) row ids or EMPTY (-1).
+
+    A query terminates at the first empty slot on its probe path (correct
+    for linear probing without deletions).
+
+    Two-phase schedule: one probe round at full width resolves the vast
+    majority of queries (keys at their home slot, or a vacant home slot
+    for misses); the unresolved remainder is compacted to M/narrow_div
+    rows and probed in a narrow loop, so the per-round cost no longer
+    scales with M times the *maximum* probe-chain length. A final
+    full-width loop (which exits immediately in the common case) handles
+    compaction overflow exactly.
+    """
+    capacity = table.capacity
+    queries = queries.astype(jnp.int32)
+    m = queries.shape[0]
+    h0 = _slot0(queries, capacity)
+    if valid is None:
+        valid = jnp.ones((m,), bool)
+
+    # Phase 1: single round, full width.
+    slot = h0
+    k = table.keys[slot]
+    match = jnp.all(k == queries, axis=-1)
+    is_empty = k[:, 0] >= SENTINEL
+    found_slot = jnp.where(valid & match, slot, EMPTY)
+    done = ~valid | match | is_empty
+
+    mn = max(m // narrow_div, 1)
+    if m > 256 and mn < m:
+        # Phase 2: compact the unresolved queries and probe narrow.
+        pending = ~done
+        pos = jnp.cumsum(pending.astype(jnp.int32)) - 1
+        dest = jnp.where(pending & (pos < mn), pos, mn)
+        idx = (
+            jnp.zeros((mn + 1,), jnp.int32)
+            .at[dest]
+            .set(jnp.arange(m, dtype=jnp.int32), mode="drop")
+        )[:mn]
+        total = jnp.sum(pending.astype(jnp.int32))
+        sel = jnp.arange(mn) < jnp.minimum(total, mn)
+        subq = queries[idx]
+        subh = h0[idx]
+        sub_found, sub_done, _ = _probe_loop(
+            table,
+            subq,
+            subh,
+            jnp.full((mn,), EMPTY, jnp.int32),
+            ~sel,
+            jnp.ones((mn,), jnp.int32),
+            max_rounds,
+        )
+        sidx = jnp.where(sel, idx, m)
+        found_slot = found_slot.at[sidx].set(sub_found, mode="drop")
+        handled = jnp.zeros((m,), bool).at[sidx].set(sel, mode="drop")
+        done = done | handled
+
+    # Phase 3: exact cleanup for compaction overflow (no-op normally).
+    found_slot, _, _ = _probe_loop(
+        table, queries, h0, found_slot, done, jnp.ones((m,), jnp.int32), max_rounds
+    )
     result = table.rows[jnp.clip(found_slot, 0)]
     return jnp.where(found_slot >= 0, result, EMPTY)
 
