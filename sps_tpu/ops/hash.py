@@ -76,6 +76,43 @@ def _slot0(coords: jnp.ndarray, capacity: int) -> jnp.ndarray:
     return (_mix(coords) & jnp.uint32(capacity - 1)).astype(jnp.int32)
 
 
+def _insert_loop(coords, rowid, h0, capacity, rows, keys, slot_of, pending, probe, max_rounds):
+    """Shared insertion loop (full claim/resolve round per iteration).
+    rowid carries the ORIGINAL row ids (claim tie-break + stored values),
+    so the loop works on compacted subsets too."""
+    big = jnp.int32(2**30)
+
+    def cond(state):
+        rows, keys, slot_of, pending, probe, rnd = state
+        return jnp.logical_and(jnp.any(pending), rnd < max_rounds)
+
+    def body(state):
+        rows, keys, slot_of, pending, probe, rnd = state
+        slot = (h0 + probe) & (capacity - 1)
+        occupant = rows[slot]
+        is_empty = occupant < 0
+        want = pending & is_empty
+        cand_slot = jnp.where(want, slot, capacity)
+        claim = jnp.full((capacity,), big, jnp.int32).at[cand_slot].min(
+            rowid, mode="drop"
+        )
+        won = want & (claim[slot] == rowid)
+        wslot = jnp.where(won, slot, capacity)
+        rows = rows.at[wslot].set(rowid, mode="drop")
+        keys = keys.at[wslot].set(coords, mode="drop")
+        match = (rows[slot] >= 0) & jnp.all(keys[slot] == coords, axis=-1)
+        resolved = pending & match
+        slot_of = jnp.where(resolved, slot, slot_of)
+        pending = pending & ~match
+        probe = probe + pending.astype(jnp.int32)
+        return rows, keys, slot_of, pending, probe, rnd + 1
+
+    rows, keys, slot_of, pending, probe, _ = jax.lax.while_loop(
+        cond, body, (rows, keys, slot_of, pending, probe, jnp.int32(0))
+    )
+    return rows, keys, slot_of, pending, probe
+
+
 def build(
     coords: jnp.ndarray,
     valid: jnp.ndarray,
@@ -102,45 +139,53 @@ def build(
     coords = coords.astype(jnp.int32)
     h0 = _slot0(coords, capacity)
     rowid = jnp.arange(n, dtype=jnp.int32)
-    big = jnp.int32(2**30)
 
-    def cond(state):
-        rows, keys, slot_of, pending, probe, rnd = state
-        return jnp.logical_and(jnp.any(pending), rnd < max_rounds)
+    rows = jnp.full((capacity,), EMPTY, jnp.int32)
+    keys = jnp.full((capacity, 4), SENTINEL, jnp.int32)
+    slot_of = jnp.full((n,), EMPTY, jnp.int32)
+    pending = valid
+    probe = jnp.zeros((n,), jnp.int32)
 
-    def body(state):
-        rows, keys, slot_of, pending, probe, rnd = state
-        slot = (h0 + probe) & (capacity - 1)
-        occupant = rows[slot]
-        is_empty = occupant < 0
-        want = pending & is_empty
-        # Claim empty slots: lowest row id targeting a slot wins.
-        cand_slot = jnp.where(want, slot, capacity)
-        claim = jnp.full((capacity,), big, jnp.int32).at[cand_slot].min(
-            rowid, mode="drop"
-        )
-        won = want & (claim[slot] == rowid)
-        wslot = jnp.where(won, slot, capacity)
-        rows = rows.at[wslot].set(rowid, mode="drop")
-        keys = keys.at[wslot].set(coords, mode="drop")
-        # Resolve: slot now holds our key (we won, or a duplicate/earlier
-        # insertion of the same key occupies it).
-        match = (rows[slot] >= 0) & jnp.all(keys[slot] == coords, axis=-1)
-        resolved = pending & match
-        slot_of = jnp.where(resolved, slot, slot_of)
-        pending = pending & ~match
-        probe = probe + pending.astype(jnp.int32)
-        return rows, keys, slot_of, pending, probe, rnd + 1
-
-    init = (
-        jnp.full((capacity,), EMPTY, jnp.int32),
-        jnp.full((capacity, 4), SENTINEL, jnp.int32),
-        jnp.full((n,), EMPTY, jnp.int32),
-        valid,
-        jnp.zeros((n,), jnp.int32),
-        jnp.int32(0),
+    # Phase 1: a couple of full-width rounds resolve winners and their
+    # duplicates (the vast majority at sane load factors).
+    rows, keys, slot_of, pending, probe = _insert_loop(
+        coords, rowid, h0, capacity, rows, keys, slot_of, pending, probe, 2
     )
-    rows, keys, slot_of, _, _, _ = jax.lax.while_loop(cond, body, init)
+
+    narrow_div = 4
+    mn = max(n // narrow_div, 1)
+    if n > 256 and mn < n:
+        # Phase 2: compact the still-pending rows and continue narrow.
+        pos = jnp.cumsum(pending.astype(jnp.int32)) - 1
+        dest = jnp.where(pending & (pos < mn), pos, mn)
+        idx = (
+            jnp.zeros((mn + 1,), jnp.int32)
+            .at[dest]
+            .set(rowid, mode="drop")
+        )[:mn]
+        total = jnp.sum(pending.astype(jnp.int32))
+        sel = jnp.arange(mn) < jnp.minimum(total, mn)
+        rows, keys, sub_slot, sub_pending, _ = _insert_loop(
+            coords[idx],
+            jnp.where(sel, idx, jnp.int32(2**30)),
+            h0[idx],
+            capacity,
+            rows,
+            keys,
+            jnp.full((mn,), EMPTY, jnp.int32),
+            sel,
+            probe[idx],
+            max_rounds,
+        )
+        sidx = jnp.where(sel & ~sub_pending, idx, n)
+        slot_of = slot_of.at[sidx].set(sub_slot, mode="drop")
+        handled = jnp.zeros((n,), bool).at[sidx].set(True, mode="drop")
+        pending = pending & ~handled
+
+    # Phase 3: exact cleanup for compaction overflow (no-op normally).
+    rows, keys, slot_of, _, _ = _insert_loop(
+        coords, rowid, h0, capacity, rows, keys, slot_of, pending, probe, max_rounds
+    )
     return HashTable(keys=keys, rows=rows), slot_of
 
 
