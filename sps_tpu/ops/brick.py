@@ -206,14 +206,27 @@ def downsample_bricks(grid: BrickGrid, coarse_capacity: int) -> tuple[BrickGrid,
 
 def gather_children(fine_vals: jnp.ndarray, child: jnp.ndarray) -> jnp.ndarray:
     """Assemble (Bc, 8, 8, 8, C) fine blocks from (8, Bc) child rows over
-    (Bf, 4, 4, 4, C) fine values (zeros where absent)."""
-    bc = child.shape[1]
-    c = fine_vals.shape[-1]
-    out = jnp.zeros((bc, 2 * BS, 2 * BS, 2 * BS, c), fine_vals.dtype)
-    for k, (a, b2, c2) in enumerate(OCT_OFFSETS):
-        blk = take_rows(fine_vals, child[k])
-        out = out.at[:, a * BS : (a + 1) * BS, b2 * BS : (b2 + 1) * BS, c2 * BS : (c2 + 1) * BS].set(blk)
-    return out
+    (Bf, 4, 4, 4, C) fine values (zeros where absent). Assembled via
+    nested concatenation (dynamic-update-slices would copy the full block
+    per octant)."""
+
+    def blk(k):
+        return take_rows(fine_vals, child[k])
+
+    def cz(a, b):  # combine along z
+        return jnp.concatenate([a, b], axis=3)
+
+    def cy(a, b):
+        return jnp.concatenate([a, b], axis=2)
+
+    def cx(a, b):
+        return jnp.concatenate([a, b], axis=1)
+
+    # OCT_OFFSETS is x-slowest: index = 4a + 2b + c.
+    return cx(
+        cy(cz(blk(0), blk(1)), cz(blk(2), blk(3))),
+        cy(cz(blk(4), blk(5)), cz(blk(6), blk(7))),
+    )
 
 
 def coarse_occ_from_children(fine_occ: jnp.ndarray, child: jnp.ndarray) -> jnp.ndarray:
@@ -350,24 +363,26 @@ def brick_conv(
 
     # Center contribution: SAME conv within the brick.
     out = _conv3d(feats, w_dense, "SAME")
-    # Neighbor-region contributions.
+    # Neighbor-region contributions. Accumulated via zero-pad + add (NOT
+    # .at[].add: each dynamic-update-slice materializes a full copy of
+    # `out`; pads fuse into one accumulation fusion).
     def spans(d):
-        # (src slice in neighbor, kernel slice, out slice, padding)
+        # (src slice in neighbor, kernel slice, out pad widths, padding)
         if d == -1:
-            return slice(BS - 1, BS), slice(0, 1), slice(0, 1), (0, 0)
+            return slice(BS - 1, BS), slice(0, 1), (0, BS - 1), (0, 0)
         if d == 0:
-            return slice(0, BS), slice(0, 3), slice(0, BS), (1, 1)
-        return slice(0, 1), slice(2, 3), slice(BS - 1, BS), (0, 0)
+            return slice(0, BS), slice(0, 3), (0, 0), (1, 1)
+        return slice(0, 1), slice(2, 3), (BS - 1, 0), (0, 0)
 
     for kk, (dx, dy, dz) in enumerate(OFFS27):
         if (dx, dy, dz) == (0, 0, 0):
             continue
-        sx, kx, ox, px = spans(dx)
-        sy, ky, oy, py = spans(dy)
-        sz, kz, oz, pz = spans(dz)
+        sx, kx, wx, px = spans(dx)
+        sy, ky, wy, py = spans(dy)
+        sz, kz, wz, pz = spans(dz)
         slab = take_rows(feats[:, sx, sy, sz], nbr27[kk])
         contrib = _conv3d(slab, w_dense[kx, ky, kz], (px, py, pz))
-        out = out.at[:, ox, oy, oz].add(contrib)
+        out = out + jnp.pad(contrib, ((0, 0), wx, wy, wz, (0, 0)))
     return mask_bricks(out.astype(feats.dtype), occ)
 
 
