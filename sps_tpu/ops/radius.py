@@ -15,6 +15,7 @@ time constants; overflow beyond max_per_cell drops candidates (reported).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from sps_tpu.ops import hash as vhash
@@ -79,33 +80,40 @@ def radius_join(
     )[:cell_capacity]
     dropped = jnp.sum((rank >= max_per_cell) & (sorted_cell < cell_capacity))
 
-    # Probe the 27-neighborhood of each query cell — all offsets in ONE
-    # batched hash lookup (a single probe loop compiles and runs far
-    # better than 27 separate while loops).
+    # Probe the 27-neighborhood of each query cell — batched hash lookups
+    # in offset chunks (one giant 27xM candidate gather holds multi-GB
+    # float intermediates live; chunking bounds the working set while
+    # keeping each lookup wide).
     qcells = _cells(queries, r)
     m = queries.shape[0]
     offs = jnp.stack(
         jnp.meshgrid(*([jnp.arange(-1, 2, dtype=jnp.int32)] * 3), indexing="ij"),
         axis=-1,
     ).reshape(27, 3)
-    q = jnp.concatenate(
-        [
-            jnp.zeros((27, m, 1), jnp.int32),
-            qcells[None, :, :] + offs[:, None, :],
-        ],
-        axis=-1,
-    ).reshape(27 * m, 4)
-    qv = jnp.broadcast_to(query_valid[None, :], (27, m)).reshape(-1)
-    cell_row = vhash.lookup(grid.table, q, qv)  # (27*M,)
-    cand = jnp.where(
-        cell_row[:, None] >= 0, lists[jnp.clip(cell_row, 0)], -1
-    )  # (27*M, P)
+    offs = jnp.concatenate([offs, jnp.full((3, 3), 1 << 20, jnp.int32)])  # pad to 30
+    offs = offs.reshape(10, 3, 3)
     scan_safe = jnp.where(scan_valid[:, None], scan, jnp.inf)
-    pts = scan_safe[jnp.clip(cand, 0)]  # (27*M, P, 3)
-    qrep = jnp.broadcast_to(queries[None], (27, m, 3)).reshape(27 * m, 1, 3)
-    d2 = jnp.sum((pts - qrep) ** 2, axis=-1)
-    near = jnp.any((d2 <= jnp.float32(r * r)) & (cand >= 0), axis=-1)
-    hit = jnp.any(near.reshape(27, m), axis=0)
+    r2 = jnp.float32(r * r)
+
+    def chunk(off_c):  # (3, 3) offsets
+        q = jnp.concatenate(
+            [
+                jnp.zeros((3, m, 1), jnp.int32),
+                qcells[None, :, :] + off_c[:, None, :],
+            ],
+            axis=-1,
+        ).reshape(3 * m, 4)
+        qv = jnp.broadcast_to(query_valid[None, :], (3, m)).reshape(-1)
+        cell_row = vhash.lookup(grid.table, q, qv)
+        cand = jnp.where(cell_row[:, None] >= 0, lists[jnp.clip(cell_row, 0)], -1)
+        pts = scan_safe[jnp.clip(cand, 0)]  # (3M, P, 3)
+        qrep = jnp.broadcast_to(queries[None], (3, m, 3)).reshape(3 * m, 1, 3)
+        d2 = jnp.sum((pts - qrep) ** 2, axis=-1)
+        near = jnp.any((d2 <= r2) & (cand >= 0), axis=-1)
+        return jnp.any(near.reshape(3, m), axis=0)
+
+    near = jax.lax.map(chunk, offs)  # (10, M)
+    hit = jnp.any(near, axis=0)
     return hit & query_valid, dropped
 
 
