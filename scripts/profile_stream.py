@@ -1,0 +1,165 @@
+#!/usr/bin/env python3
+"""Per-stage timing of the streaming pipeline on the live device.
+
+Splits the jitted per-scan program into separately-jitted stages
+(voxelize+map-overlap / topology pyramid / UNet+devoxelize) and times each
+in honest sync mode (docs/DESIGN.md §4), plus the fused end-to-end program
+for reference. Optionally captures a jax.profiler trace of the fused run.
+
+Usage: python scripts/profile_stream.py [--trace-dir DIR] [--scans N]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+_HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _HERE)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(_HERE, ".jax_cache"))
+
+import numpy as np
+
+
+def log(msg):
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--trace-dir", default=None)
+    ap.add_argument("--scans", type=int, default=8)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from sps_tpu import config as cfg_mod
+    from sps_tpu import train as tr
+    from sps_tpu.models import spsnet
+    from sps_tpu.models.minkunet import MinkUNet
+    from sps_tpu.ops import brick as bk
+    from sps_tpu.ops import hash as vhash
+    from sps_tpu.ops import voxelize as vox
+    from sps_tpu.stream.engine import build_map_bricks
+    from sps_tpu.utils.geometry import transform_points
+    from sps_tpu.utils.profiling import latch_sync_mode
+
+    sys.path.insert(0, _HERE)
+    import bench
+
+    cfg = cfg_mod.load(os.path.join(_HERE, "config", "config.yaml"), data_root="/tmp")
+    stable, scans, labels, valids = bench._make_data(cfg, 24)
+    sps_cfg = cfg.sps_config(batch_size=1)
+    model = spsnet.SPSModel(sps_cfg)
+    state = tr.create_state(cfg, jax.random.PRNGKey(0), steps_per_epoch=1)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    log("building map bricks")
+    map_grid = build_map_bricks(stable, cfg.voxel_size)
+
+    n = scans.shape[1]
+    bcap = sps_cfg.caps.bricks[0]
+    vsize = cfg.voxel_size
+
+    # ---- stage 1: transform + voxelize + map-overlap ----
+    @jax.jit
+    def stage_vox(scan_xyz, valid):
+        coords = vox.quantize(scan_xyz, vsize)
+        grid, p2s = bk.voxelize_bricks(
+            coords,
+            jnp.zeros((n,), jnp.int32),
+            jnp.ones((n,), jnp.int32),
+            valid,
+            num_time=2,
+            brick_capacity=bcap,
+        )
+        bvalid = jnp.arange(bcap) < grid.num_bricks
+        mrow = vhash.lookup(map_grid.table, grid.coords, bvalid)
+        mocc = bk.take_rows(map_grid.occ, mrow)[..., 0]
+        overlap = grid.occ[..., 1] * mocc
+        occ = grid.occ.at[..., 0].set(overlap)
+        return grid._replace(occ=occ), p2s
+
+    # ---- stage 2: topology pyramid ----
+    @jax.jit
+    def stage_topo(grid):
+        levels = bk.build_brick_levels(
+            grid, num_levels=spsnet.NUM_LEVELS, capacities=sps_cfg.caps.bricks
+        )
+        return levels
+
+    # ---- stage 3: UNet + devoxelize ----
+    @jax.jit
+    def stage_unet(variables, levels, p2s, valid):
+        ucfg = sps_cfg.unet
+        occ0 = levels[0].grid.occ
+        feats0 = (0.5 * jnp.repeat(occ0, ucfg.in_channels, axis=-1)).astype(ucfg.dtype)
+        unet = MinkUNet(ucfg, name="MinkUNet")
+        out = unet.apply(
+            {
+                "params": variables["params"]["MinkUNet"],
+                "batch_stats": variables["batch_stats"]["MinkUNet"],
+            },
+            feats0,
+            levels,
+            False,
+        )
+        out3 = out.reshape(-1, 2, ucfg.out_channels).astype(jnp.float32)
+        per_point = vox.devoxelize(out3, p2s, jnp.ones((n,), jnp.int32))[:, 0]
+        return jax.nn.sigmoid(per_point) * valid
+
+    # ---- fused ----
+    @jax.jit
+    def fused(variables, scan_xyz, valid):
+        grid, p2s = stage_vox.__wrapped__(scan_xyz, valid)
+        levels = stage_topo.__wrapped__(grid)
+        return stage_unet.__wrapped__(variables, levels, p2s, valid)
+
+    xyz0 = jnp.asarray(scans[0])
+    val0 = jnp.asarray(valids[0]).astype(jnp.float32)
+    vbool0 = jnp.asarray(valids[0])
+
+    log("compiling stage 1 (voxelize+overlap)")
+    g, p = stage_vox(xyz0, vbool0)
+    jax.block_until_ready(g.occ)
+    log("compiling stage 2 (topology)")
+    lv = stage_topo(g)
+    jax.block_until_ready(lv[0].nbr27)
+    log("compiling stage 3 (unet)")
+    s = stage_unet(variables, lv, p, val0)
+    jax.block_until_ready(s)
+    log("compiling fused")
+    sf = fused(variables, xyz0, vbool0)
+    jax.block_until_ready(sf)
+    log("latching sync mode")
+    latch_sync_mode()
+    nb = int(g.num_bricks)
+    log(f"bricks occupied at L0: {nb} / cap {bcap}")
+    for li, l in enumerate(lv):
+        log(f"  L{li}: {int(l.grid.num_bricks)} / {l.grid.coords.shape[0]}")
+
+    def timeit(name, fn, *a):
+        ts = []
+        for i in range(args.scans):
+            t0 = time.perf_counter()
+            out = fn(*a)
+            jax.block_until_ready(out)
+            ts.append(time.perf_counter() - t0)
+        log(f"{name}: p50 {np.percentile(ts, 50)*1e3:.1f} ms (min {min(ts)*1e3:.1f})")
+        return out
+
+    timeit("stage1 vox+overlap", stage_vox, xyz0, vbool0)
+    timeit("stage2 topology   ", stage_topo, g)
+    timeit("stage3 unet+devox ", stage_unet, variables, lv, p, val0)
+    timeit("fused             ", fused, variables, xyz0, vbool0)
+
+    if args.trace_dir:
+        log(f"tracing fused run -> {args.trace_dir}")
+        with jax.profiler.trace(args.trace_dir):
+            out = fused(variables, xyz0, vbool0)
+            jax.block_until_ready(out)
+        log("trace done")
+
+
+if __name__ == "__main__":
+    main()

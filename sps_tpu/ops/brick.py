@@ -150,6 +150,21 @@ def voxelize_bricks(
     return grid, point2slot, pooled
 
 
+def invert_rows(rows: jnp.ndarray, size: int) -> jnp.ndarray:
+    """Invert an injective row map: out[j] = i where rows[i] == j (EMPTY
+    elsewhere). Used to derive mirror-offset neighbor tables (if j is i's
+    neighbor at offset d, then i is j's neighbor at -d) and child maps from
+    parent maps — one scatter instead of a fresh hash lookup."""
+    n = rows.shape[0]
+    src = jnp.arange(n, dtype=jnp.int32)
+    dest = jnp.where(rows >= 0, rows, size)
+    return (
+        jnp.full((size + 1,), vhash.EMPTY, jnp.int32)
+        .at[dest]
+        .set(src, mode="drop")
+    )[:size]
+
+
 def _brick_lookup(grid: BrickGrid, offsets: np.ndarray) -> jnp.ndarray:
     """(K, B) neighbor brick rows for static brick-coordinate offsets."""
     b = grid.coords.shape[0]
@@ -251,24 +266,38 @@ def build_brick_levels(
 
     levels: list[BrickLevel] = []
     for li, g in enumerate(grids):
-        nbr27 = _brick_lookup(g, np.asarray(OFFS27, np.int32))
+        b = g.coords.shape[0]
+        valid_rows = jnp.arange(b, dtype=jnp.int32) < g.num_bricks
+        # 27-neighbor table: look up only the 13 offsets before the center;
+        # the mirrored half follows by inversion (OFFS27[26-k] == -OFFS27[k])
+        # and the center is the identity — half the hash-probe traffic.
+        half = _brick_lookup(g, np.asarray(OFFS27[:13], np.int32))  # (13, B)
+        rowid = jnp.arange(b, dtype=jnp.int32)
+        nbr = [None] * 27
+        for k in range(13):
+            nbr[k] = half[k]
+            nbr[26 - k] = invert_rows(half[k], b)
+        nbr[13] = jnp.where(valid_rows, rowid, vhash.EMPTY)
+        nbr27 = jnp.stack(nbr)
         parent = f2c[li] if li < num_levels - 1 else None
         oct_ = (g.coords[:, 1:] & 1) if li < num_levels - 1 else None
         child = None
         if li > 0:
+            # Child maps come from the downsample-time fine->coarse
+            # assignment: fine brick bf with octant o is the (o, f2c[bf])
+            # child — a scatter, not 8*B fresh hash lookups.
             fine = grids[li - 1]
-            b = g.coords.shape[0]
-            valid = jnp.arange(b) < g.num_bricks
-            offs = jnp.asarray(OCT_OFFSETS, jnp.int32)
-            q = jnp.concatenate(
-                [
-                    jnp.broadcast_to(g.coords[None, :, :1], (8, b, 1)),
-                    (g.coords[None, :, 1:] << 1) + offs[:, None, :],
-                ],
-                axis=-1,
-            ).reshape(8 * b, 4)
-            qv = jnp.broadcast_to(valid[None, :], (8, b)).reshape(-1)
-            child = vhash.lookup(fine.table, q, qv).reshape(8, b)
+            bf = fine.coords.shape[0]
+            validf = jnp.arange(bf, dtype=jnp.int32) < fine.num_bricks
+            octf = fine.coords[:, 1:] & 1
+            kflat = octf[:, 0] * 4 + octf[:, 1] * 2 + octf[:, 2]
+            fc = f2c[li - 1]
+            dest = jnp.where(validf & (fc >= 0), fc, b)
+            child = (
+                jnp.full((8, b + 1), vhash.EMPTY, jnp.int32)
+                .at[kflat, dest]
+                .set(jnp.arange(bf, dtype=jnp.int32), mode="drop")
+            )[:, :b]
             # occupancy at this level comes from the children
             g = g._replace(occ=coarse_occ_from_children(grids[li - 1].occ, child))
             grids[li] = g

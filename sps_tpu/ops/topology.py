@@ -72,10 +72,27 @@ class Level(NamedTuple):
     parity: jnp.ndarray | None
 
 
+def _invert_rows(rows: jnp.ndarray, size: int) -> jnp.ndarray:
+    """out[j] = i where rows[i] == j (EMPTY elsewhere); rows injective."""
+    n = rows.shape[0]
+    src = jnp.arange(n, dtype=jnp.int32)
+    dest = jnp.where(rows >= 0, rows, size)
+    return (
+        jnp.full((size + 1,), vhash.EMPTY, jnp.int32)
+        .at[dest]
+        .set(src, mode="drop")
+    )[:size]
+
+
 def _neighbor_table(
     grid: vox.VoxelGrid, offsets: np.ndarray, chunk: int = 9
 ) -> jnp.ndarray:
     """(K, V) neighbor rows for each static offset; -1 where absent.
+
+    Centered odd kernels are centrally symmetric, so only the offsets
+    before the center are hash-looked-up; the mirror half follows by
+    scatter inversion (j a neighbor of i at d ⟺ i a neighbor of j at -d)
+    and the center is the identity — half the probe traffic.
 
     Offsets are looked up in chunks via lax.map so the probe loop's live
     set stays at chunk*V rows instead of K*V (a 125-offset kernel at
@@ -84,9 +101,13 @@ def _neighbor_table(
     v = grid.coords.shape[0]
     k = offsets.shape[0]
     valid = jnp.arange(v) < grid.num_voxels
-    nchunks = -(-k // chunk)
+    # Detect the symmetric centered layout (kernel_offsets order).
+    symmetric = k % 2 == 1 and np.all(offsets[::-1] == -offsets)
+    nlook = k // 2 if symmetric else k
+    lookups = offsets[:nlook]
+    nchunks = max(-(-nlook // chunk), 1)
     padded = np.full((nchunks * chunk, 3), vox.PAD_COORD, np.int32)
-    padded[:k] = offsets
+    padded[:nlook] = lookups
     offs = jnp.asarray(padded.reshape(nchunks, chunk, 3))
 
     def one_chunk(off_c):  # (chunk, 3)
@@ -101,7 +122,16 @@ def _neighbor_table(
         return vhash.lookup(grid.table, q, qvalid).reshape(chunk, v)
 
     rows = jax.lax.map(one_chunk, offs)  # (nchunks, chunk, v)
-    return rows.reshape(nchunks * chunk, v)[:k]
+    rows = rows.reshape(nchunks * chunk, v)[:nlook]
+    if not symmetric:
+        return rows
+    rowid = jnp.arange(v, dtype=jnp.int32)
+    out = [None] * k
+    for i in range(nlook):
+        out[i] = rows[i]
+        out[k - 1 - i] = _invert_rows(rows[i], v)
+    out[nlook] = jnp.where(valid, rowid, vhash.EMPTY)
+    return jnp.stack(out)
 
 
 def build_levels(
@@ -174,18 +204,21 @@ def build_levels(
             parity = (xyz[:, 0] << 2) | (xyz[:, 1] << 1) | xyz[:, 2]
         child = None
         if li > 0:
+            # Derived from the downsample-time fine->coarse assignment
+            # (fine voxel f with parity p is the (p, parent[f]) child) —
+            # a scatter instead of 8*V fresh hash lookups.
             fine = levels[li - 1].grid
             v = lvl.grid.coords.shape[0]
-            valid = jnp.arange(v) < lvl.grid.num_voxels
-            offs = jnp.asarray(DOWN_OFFSETS, jnp.int32)
-            q = jnp.concatenate(
-                [
-                    jnp.broadcast_to(lvl.grid.coords[None, :, :1], (8, v, 1)),
-                    (lvl.grid.coords[None, :, 1:] << 1) + offs[:, None, :],
-                ],
-                axis=-1,
-            ).reshape(8 * v, 4)
-            qvalid = jnp.broadcast_to(valid[None, :], (8, v)).reshape(-1)
-            child = vhash.lookup(fine.table, q, qvalid).reshape(8, v)
+            vf = fine.coords.shape[0]
+            validf = jnp.arange(vf, dtype=jnp.int32) < fine.num_voxels
+            pxyz = fine.coords[:, 1:] & 1
+            pflat = (pxyz[:, 0] << 2) | (pxyz[:, 1] << 1) | pxyz[:, 2]
+            fp = parent_of[li - 1]
+            dest = jnp.where(validf & (fp >= 0), fp, v)
+            child = (
+                jnp.full((8, v + 1), vhash.EMPTY, jnp.int32)
+                .at[pflat, dest]
+                .set(jnp.arange(vf, dtype=jnp.int32), mode="drop")
+            )[:, :v]
         out.append(lvl._replace(child=child, parent=parent, parity=parity))
     return out
