@@ -60,15 +60,36 @@ def _make_data(cfg, n_scans):
 
 
 def main():
+    import argparse
+    import dataclasses
+
     import jax
 
     from sps_tpu import config as cfg_mod
     from sps_tpu import train as tr
     from sps_tpu.stream.engine import StreamingFilter
 
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--engine", default=None)
+    ap.add_argument("--brick-side", type=int, default=None)
+    ap.add_argument("--conv-mode", default=None)
+    ap.add_argument("--bricks", default=None, help="csv per-level caps (batch budget)")
+    args = ap.parse_args()
+
     cfg = cfg_mod.load(
         os.path.join(_HERE, "config", "config.yaml"), data_root="/tmp"
     )
+    over = {}
+    if args.engine:
+        over["engine"] = args.engine
+    if args.brick_side:
+        over["brick_side"] = args.brick_side
+    if args.conv_mode:
+        over["conv_mode"] = args.conv_mode
+    if args.bricks:
+        over["bricks"] = tuple(int(x) for x in args.bricks.split(","))
+    if over:
+        cfg = dataclasses.replace(cfg, tpu=dataclasses.replace(cfg.tpu, **over))
     n_scans, ns = 24, cfg.tpu.scan_points
     _log("generating/loading data")
     stable, scans, labels, valids = _make_data(cfg, n_scans)

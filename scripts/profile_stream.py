@@ -29,6 +29,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--trace-dir", default=None)
     ap.add_argument("--scans", type=int, default=8)
+    ap.add_argument("--brick-side", type=int, default=None)
+    ap.add_argument("--bricks", default=None, help="csv per-level brick caps (batch budget)")
     args = ap.parse_args()
 
     import jax
@@ -49,13 +51,22 @@ def main():
     import bench
 
     cfg = cfg_mod.load(os.path.join(_HERE, "config", "config.yaml"), data_root="/tmp")
+    import dataclasses
+
+    tpu_over = {}
+    if args.brick_side is not None:
+        tpu_over["brick_side"] = args.brick_side
+    if args.bricks is not None:
+        tpu_over["bricks"] = tuple(int(x) for x in args.bricks.split(","))
+    if tpu_over:
+        cfg = dataclasses.replace(cfg, tpu=dataclasses.replace(cfg.tpu, **tpu_over))
     stable, scans, labels, valids = bench._make_data(cfg, 24)
     sps_cfg = cfg.sps_config(batch_size=1)
     model = spsnet.SPSModel(sps_cfg)
     state = tr.create_state(cfg, jax.random.PRNGKey(0), steps_per_epoch=1)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     log("building map bricks")
-    map_grid = build_map_bricks(stable, cfg.voxel_size)
+    map_grid = build_map_bricks(stable, cfg.voxel_size, brick_side=cfg.tpu.brick_side)
 
     n = scans.shape[1]
     bcap = sps_cfg.caps.bricks[0]
@@ -72,6 +83,7 @@ def main():
             valid,
             num_time=2,
             brick_capacity=bcap,
+            brick_side=cfg.tpu.brick_side,
         )
         bvalid = jnp.arange(bcap) < grid.num_bricks
         mrow = vhash.lookup(map_grid.table, grid.coords, bvalid)

@@ -50,7 +50,12 @@ class TPUConfig:
     cell_capacity: int = 1 << 18  # radius-join hash cells
     voxels: tuple = (1 << 18, 1 << 16, 1 << 14, 1 << 12, 1 << 10)  # whole batch
     bricks: tuple = (1 << 15, 1 << 14, 1 << 13, 1 << 12, 1 << 11)  # whole batch
-    engine: str = "brick"  # "brick" | "gather"
+    engine: str = "brick"  # "atlas" | "brick" | "gather"
+    brick_side: int = 4  # brick edge in voxels (power of two)
+    # Per-sample dense-atlas window in bricks (engine="atlas"): must cover
+    # one scan+submap AABB at L0 brick granularity.
+    atlas_extent: tuple = (256, 256, 96)
+    conv_mode: str = "region"  # brick stride-1 conv: "region" | "halo"
     max_per_cell: int = 8
     bf16: bool = False
 
@@ -76,12 +81,12 @@ class Config:
         bs = batch_size if batch_size is not None else self.train.batch_size
         # Voxel/brick capacities in the YAML are budgeted for the training
         # batch size; smaller batches (streaming uses 1) scale down so the
-        # compiled program does proportionally less work.
+        # compiled program does proportionally less work. Rounded to 512
+        # (not powers of two — dense brick arrays scale linearly with the
+        # cap, so pow2 rounding would waste up to 2x; only hash tables need
+        # pow2 and they size themselves).
         def rup(x):
-            p = 512
-            while p < x:
-                p *= 2
-            return p
+            return max(512, (x + 511) // 512 * 512)
 
         factor = bs / max(self.train.batch_size, 1)
         caps = Capacities(
@@ -98,8 +103,11 @@ class Config:
                 out_channels=1,
                 num_time=2,
                 dtype=jnp.bfloat16 if self.tpu.bf16 else jnp.float32,
+                conv_mode=self.tpu.conv_mode,
             ),
             engine=self.tpu.engine,
+            brick_side=self.tpu.brick_side,
+            atlas_extent=(bs,) + tuple(self.tpu.atlas_extent),
         )
 
 
@@ -139,6 +147,9 @@ def load(path: str, data_root: str | None = None) -> Config:
             voxels=tuple(tpu.get("VOXELS", TPUConfig.voxels)),
             bricks=tuple(tpu.get("BRICKS", TPUConfig.bricks)),
             engine=str(tpu.get("ENGINE", TPUConfig.engine)),
+            brick_side=int(tpu.get("BRICK_SIDE", TPUConfig.brick_side)),
+            atlas_extent=tuple(tpu.get("ATLAS_EXTENT", TPUConfig.atlas_extent)),
+            conv_mode=str(tpu.get("CONV_MODE", TPUConfig.conv_mode)),
             max_per_cell=int(tpu.get("MAX_PER_CELL", TPUConfig.max_per_cell)),
             bf16=bool(tpu.get("BF16", False)),
         ),

@@ -32,6 +32,8 @@ class MapMOSConfig:
     voxel_size: float = 0.1
     caps: Capacities = Capacities()
     engine: str = "brick"
+    brick_side: int = 4
+    atlas_extent: tuple = (1, 256, 256, 96)
 
     def sps_config(self) -> SPSConfig:
         return SPSConfig(
@@ -39,6 +41,8 @@ class MapMOSConfig:
             caps=self.caps,
             unet=MinkUNetConfig(in_channels=1, out_channels=1, num_time=2),
             engine=self.engine,
+            brick_side=self.brick_side,
+            atlas_extent=self.atlas_extent,
         )
 
 
@@ -63,7 +67,21 @@ class MapMOSNet(nn.Module):
         scfg = self.cfg.sps_config()
         feats = normalized_index_features(indices, pb.valid)
         coords = vox.quantize(pb.xyz, scfg.voxel_size)
-        if scfg.engine == "brick":
+        if scfg.engine == "atlas":
+            from sps_tpu.ops import atlas as atl
+
+            grid, p2s, pooled = atl.voxelize_bricks(
+                coords,
+                pb.batch,
+                pb.t,
+                pb.valid,
+                num_time=2,
+                brick_capacity=scfg.caps.bricks[0],
+                brick_side=scfg.brick_side,
+                extent=scfg.atlas_extent,
+                features=feats,
+            )
+        elif scfg.engine == "brick":
             grid, p2s, pooled = bk.voxelize_bricks(
                 coords,
                 pb.batch,
@@ -72,6 +90,7 @@ class MapMOSNet(nn.Module):
                 num_time=2,
                 brick_capacity=scfg.caps.bricks[0],
                 features=feats,
+                brick_side=scfg.brick_side,
             )
         else:
             grid, p2s, pooled3 = vox.voxelize(

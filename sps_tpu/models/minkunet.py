@@ -50,6 +50,9 @@ class MinkUNetConfig:
     block_kernel: int = 3
     # Compute dtype for gathers/matmuls; params stay float32.
     dtype: jnp.dtype = jnp.float32
+    # Brick-engine stride-1 conv formulation ("region" | "halo"); see
+    # ops.brick.brick_conv.
+    conv_mode: str = "region"
 
 
 def _kaiming(key, shape, dtype=jnp.float32):
@@ -141,6 +144,7 @@ class SpConv(nn.Module):
     time_kernel: int
     num_time: int
     use_bias: bool = False  # ME MinkowskiConvolution default bias=False
+    conv_mode: str = "region"
 
     @nn.compact
     def __call__(self, feats, lvl, occ):
@@ -161,7 +165,7 @@ class SpConv(nn.Module):
             return mask_any(out, occ)
         if _is_brick(lvl):
             wd = bk.pack_dense_kernel(w, self.num_time)
-            return bk.brick_conv(feats, lvl.nbr27, wd, occ)
+            return bk.brick_conv(feats, lvl.nbr27, wd, occ, self.conv_mode)
         wp = sc.pack_time_toeplitz(w, self.num_time)
         return sc.sparse_conv(feats, lvl.nbr[self.ksize], wp, occ)
 
@@ -207,18 +211,31 @@ class BasicBlock(nn.Module):
     planes: int
     num_time: int
     block_kernel: int = 3
+    conv_mode: str = "region"
 
     @nn.compact
     def __call__(self, feats, lvl, occ, train: bool):
         t = self.num_time
-        out = SpConv(self.cin, self.planes, self.block_kernel, 3, t, name="conv1")(
-            feats, lvl, occ
-        )
+        out = SpConv(
+            self.cin,
+            self.planes,
+            self.block_kernel,
+            3,
+            t,
+            conv_mode=self.conv_mode,
+            name="conv1",
+        )(feats, lvl, occ)
         out = MaskedBatchNorm(self.planes, name="norm1")(out, occ, train)
         out = mask_any(nn.relu(out), occ)
-        out = SpConv(self.planes, self.planes, self.block_kernel, 3, t, name="conv2")(
-            out, lvl, occ
-        )
+        out = SpConv(
+            self.planes,
+            self.planes,
+            self.block_kernel,
+            3,
+            t,
+            conv_mode=self.conv_mode,
+            name="conv2",
+        )(out, lvl, occ)
         out = MaskedBatchNorm(self.planes, name="norm2")(out, occ, train)
         if self.cin != self.planes:
             res = SpConv(self.cin, self.planes, 1, 1, t, name="downsample_conv")(
@@ -230,7 +247,7 @@ class BasicBlock(nn.Module):
         return mask_any(nn.relu(out + res), occ)
 
 
-def _blocks(name, n, cin, planes, num_time, block_kernel=3):
+def _blocks(name, n, cin, planes, num_time, block_kernel=3, conv_mode="region"):
     mods = []
     for i in range(n):
         mods.append(
@@ -239,6 +256,7 @@ def _blocks(name, n, cin, planes, num_time, block_kernel=3):
                 planes,
                 num_time,
                 block_kernel,
+                conv_mode,
                 name=f"{name}_{i}",
             )
         )
@@ -264,7 +282,15 @@ class MinkUNet(nn.Module):
             return mask_any(nn.relu(x), o)
 
         # Stem (minkunet.py:55-62): kernel (5,5,5,1).
-        x = SpConv(cfg.in_channels, d0, cfg.first_kernel, 1, t, name="conv0p1s1")(
+        x = SpConv(
+            cfg.in_channels,
+            d0,
+            cfg.first_kernel,
+            1,
+            t,
+            conv_mode=cfg.conv_mode,
+            name="conv0p1s1",
+        )(
             feats, l0, occ[0]
         )
         x = MaskedBatchNorm(d0, name="bn0")(x, occ[0], train)
@@ -277,22 +303,22 @@ class MinkUNet(nn.Module):
             return relu(y, occ_c)
 
         x = down(out_p1, "conv1p1s2", d0, d0, l1, "bn1", occ[1])
-        for b in _blocks("block1", cfg.layers[0], d0, p[0], t, cfg.block_kernel):
+        for b in _blocks("block1", cfg.layers[0], d0, p[0], t, cfg.block_kernel, cfg.conv_mode):
             x = b(x, l1, occ[1], train)
         out_b1p2 = x
 
         x = down(x, "conv2p2s2", p[0], p[0], l2, "bn2", occ[2])
-        for b in _blocks("block2", cfg.layers[1], p[0], p[1], t, cfg.block_kernel):
+        for b in _blocks("block2", cfg.layers[1], p[0], p[1], t, cfg.block_kernel, cfg.conv_mode):
             x = b(x, l2, occ[2], train)
         out_b2p4 = x
 
         x = down(x, "conv3p4s2", p[1], p[1], l3, "bn3", occ[3])
-        for b in _blocks("block3", cfg.layers[2], p[1], p[2], t, cfg.block_kernel):
+        for b in _blocks("block3", cfg.layers[2], p[1], p[2], t, cfg.block_kernel, cfg.conv_mode):
             x = b(x, l3, occ[3], train)
         out_b3p8 = x
 
         x = down(x, "conv4p8s2", p[2], p[2], l4, "bn4", occ[4])
-        for b in _blocks("block4", cfg.layers[3], p[2], p[3], t, cfg.block_kernel):
+        for b in _blocks("block4", cfg.layers[3], p[2], p[3], t, cfg.block_kernel, cfg.conv_mode):
             x = b(x, l4, occ[4], train)
 
         # Decoder (minkunet.py:107-158,188-217).
@@ -303,22 +329,22 @@ class MinkUNet(nn.Module):
 
         x = up(x, "convtr4p16s2", p[3], p[4], l3, "bntr4", occ[3])
         x = cat_time(x, out_b3p8, t)
-        for b in _blocks("block5", cfg.layers[4], p[4] + p[2], p[4], t, cfg.block_kernel):
+        for b in _blocks("block5", cfg.layers[4], p[4] + p[2], p[4], t, cfg.block_kernel, cfg.conv_mode):
             x = b(x, l3, occ[3], train)
 
         x = up(x, "convtr5p8s2", p[4], p[5], l2, "bntr5", occ[2])
         x = cat_time(x, out_b2p4, t)
-        for b in _blocks("block6", cfg.layers[5], p[5] + p[1], p[5], t, cfg.block_kernel):
+        for b in _blocks("block6", cfg.layers[5], p[5] + p[1], p[5], t, cfg.block_kernel, cfg.conv_mode):
             x = b(x, l2, occ[2], train)
 
         x = up(x, "convtr6p4s2", p[5], p[6], l1, "bntr6", occ[1])
         x = cat_time(x, out_b1p2, t)
-        for b in _blocks("block7", cfg.layers[6], p[6] + p[0], p[6], t, cfg.block_kernel):
+        for b in _blocks("block7", cfg.layers[6], p[6] + p[0], p[6], t, cfg.block_kernel, cfg.conv_mode):
             x = b(x, l1, occ[1], train)
 
         x = up(x, "convtr7p2s2", p[6], p[7], l0, "bntr7", occ[0])
         x = cat_time(x, out_p1, t)
-        for b in _blocks("block8", cfg.layers[7], p[7] + d0, p[7], t, cfg.block_kernel):
+        for b in _blocks("block8", cfg.layers[7], p[7] + d0, p[7], t, cfg.block_kernel, cfg.conv_mode):
             x = b(x, l0, occ[0], train)
 
         # Head: 1x1 conv with bias (minkunet.py:152-158).

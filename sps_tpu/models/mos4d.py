@@ -30,6 +30,7 @@ class MOS4DConfig:
     n_scans: int = 10  # buffer length, parsed from ckpt name in the ref
     caps: Capacities = Capacities()
     engine: str = "brick"
+    brick_side: int = 4
 
     def sps_config(self) -> SPSConfig:
         return SPSConfig(
@@ -39,6 +40,7 @@ class MOS4DConfig:
                 in_channels=1, out_channels=3, num_time=self.n_scans
             ),
             engine=self.engine,
+            brick_side=self.brick_side,
         )
 
 

@@ -21,6 +21,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from sps_tpu.models.minkunet import MinkUNet, MinkUNetConfig
+from sps_tpu.ops import atlas as atl
 from sps_tpu.ops import brick as bk
 from sps_tpu.ops import topology as topo
 from sps_tpu.ops import voxelize as vox
@@ -37,12 +38,25 @@ class SPSConfig:
     threshold: float = 0.84  # config/config.yaml:34
     caps: Capacities = Capacities()
     unet: MinkUNetConfig = MinkUNetConfig(in_channels=1, out_channels=1, num_time=2)
-    engine: str = "brick"  # "brick" | "gather"
+    # "atlas": brick features + dense-AABB probe-free topology (fastest);
+    # "brick": brick features + probing-hash topology;
+    # "gather": per-voxel rows (the exact/simple oracle formulation).
+    engine: str = "brick"
+    # Brick edge length in voxels (power of two). Larger bricks cut
+    # hash/topology/gather work ~cubically at the cost of more MXU FLOPs
+    # on phantom slots; 8 is the measured sweet spot at BLT scan density.
+    brick_side: int = 4
+    # Static atlas window (NB, NX, NY, NZ) in bricks; engine="atlas" only.
+    atlas_extent: tuple = (2, 256, 256, 96)
 
 
 def build_levels_from_grid(grid, cfg: SPSConfig):
-    """Topology pyramid from an existing stride-1 grid (either engine)."""
-    if isinstance(grid, bk.BrickGrid):
+    """Topology pyramid from an existing stride-1 grid (any engine)."""
+    if isinstance(grid, atl.AtlasGrid):
+        levels = atl.build_levels(
+            grid, num_levels=NUM_LEVELS, capacities=cfg.caps.bricks
+        )
+    elif isinstance(grid, bk.BrickGrid):
         levels = bk.build_brick_levels(
             grid, num_levels=NUM_LEVELS, capacities=cfg.caps.bricks
         )
@@ -68,7 +82,18 @@ def build_pyramid(pb: PointBatch, cfg: SPSConfig):
     brick). Parameter-free; kept outside the flax module so streaming
     callers can reuse/precompute it."""
     coords = vox.quantize(pb.xyz, cfg.voxel_size)
-    if cfg.engine == "brick":
+    if cfg.engine == "atlas":
+        grid, p2s = atl.voxelize_bricks(
+            coords,
+            pb.batch,
+            pb.t,
+            pb.valid,
+            num_time=cfg.unet.num_time,
+            brick_capacity=cfg.caps.bricks[0],
+            brick_side=cfg.brick_side,
+            extent=cfg.atlas_extent,
+        )
+    elif cfg.engine == "brick":
         grid, p2s = bk.voxelize_bricks(
             coords,
             pb.batch,
@@ -76,6 +101,7 @@ def build_pyramid(pb: PointBatch, cfg: SPSConfig):
             pb.valid,
             num_time=cfg.unet.num_time,
             brick_capacity=cfg.caps.bricks[0],
+            brick_side=cfg.brick_side,
         )
     else:
         grid, p2s, _ = vox.voxelize(

@@ -1,0 +1,298 @@
+"""Dense brick atlas: probe-free topology over a static AABB window.
+
+Third-generation topology backend (after ops/hash.py probing tables and
+ops/brick.py brick hashing). The observation: at brick granularity the
+working set is *small*. A BLT-scale scan spans ~60 m; at brick side 8 and
+0.1 m voxels that is ~80 bricks per axis — a dense int32 "atlas" mapping
+brick cell -> compact brick row over the scan's AABB costs a few MB, far
+cheaper than HBM-random probe chains. Every operation the probing hash
+served becomes a single-round dense scatter or gather:
+
+  * dedup/compaction: scatter-max occupancy into the atlas, exclusive
+    cumsum over cells -> brick rows (no insertion rounds, no claim loops);
+  * point -> brick row: one gather at the point's cell;
+  * 27-neighborhood: 26 gathers at offset cells (no probe loop at all);
+  * stride-2 downsample: cells coarsen arithmetically (bc >> 1), so the
+    coarse atlas is built the same way from the fine brick list.
+
+Shapes stay static: the atlas extent (cells per axis) is a compile-time
+capacity; the dynamic AABB origin is data. Points outside the window set
+the overflow flag and are dropped (the reference has no such bound, but
+its scans are range-limited; see docs/DESIGN.md).
+
+Replaces (for the model path) the hash-based equivalents of
+MinkowskiEngine's coordinate manager — see ops/brick.py's docstring for
+the reference mapping (/root/reference/src/sps/models/models.py:24-25).
+The probing hash remains in use where the key space is genuinely large
+(resident map table, radius join).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from sps_tpu.ops import brick as bk
+from sps_tpu.ops import hash as vhash
+from sps_tpu.ops import voxelize as vox
+
+EMPTY = vhash.EMPTY
+
+
+class AtlasGrid(NamedTuple):
+    """Brick grid whose lookup structure is a dense AABB atlas.
+
+    Same role as brick.BrickGrid (coords/occ/num_bricks/overflow have
+    identical semantics); `atlas` is the dense (NB*NX*NY*NZ,) int32 cell ->
+    brick-row map and `origin` the (3,) brick coordinate of cell (0,0,0).
+    """
+
+    coords: jnp.ndarray  # (Bcap, 4) int32 [batch, bx, by, bz]
+    occ: jnp.ndarray  # (Bcap, bs, bs, bs, T) float32
+    num_bricks: jnp.ndarray  # () int32
+    atlas: jnp.ndarray  # (NB*NX*NY*NZ,) int32
+    origin: jnp.ndarray  # (3,) int32
+    extent: tuple  # static (NB, NX, NY, NZ)
+    overflow: jnp.ndarray  # () bool
+
+
+def _cells(batch_idx, bc, origin, extent):
+    """Flat cell ids + in-window mask for (N,) batch ids and (N, 3) brick
+    coords."""
+    nb, nx, ny, nz = extent
+    rel = bc - origin[None, :]
+    inb = (
+        (batch_idx >= 0)
+        & (batch_idx < nb)
+        & jnp.all((rel >= 0) & (rel < jnp.array([nx, ny, nz])), axis=-1)
+    )
+    flat = ((batch_idx * nx + rel[:, 0]) * ny + rel[:, 1]) * nz + rel[:, 2]
+    return jnp.where(inb, flat, nb * nx * ny * nz), inb
+
+
+def atlas_rows(grid: AtlasGrid, batch_idx, bc):
+    """Brick rows for (N,) batch ids + (N, 3) brick coords (EMPTY if
+    absent/out of window). One gather, no probing."""
+    flat, inb = _cells(batch_idx, bc, grid.origin, grid.extent)
+    ncell = grid.extent[0] * grid.extent[1] * grid.extent[2] * grid.extent[3]
+    r = jnp.concatenate([grid.atlas, jnp.array([EMPTY], jnp.int32)])[
+        jnp.minimum(flat, ncell)
+    ]
+    return jnp.where(inb, r, EMPTY)
+
+
+def _compact(occ_cells, capacity, extent, origin):
+    """occupancy bitmap over cells -> (atlas, coords, num, overflow).
+
+    atlas[cell] = compact brick row (EMPTY if vacant); coords[row] =
+    [batch, bx, by, bz] of that brick (PAD_COORD beyond num)."""
+    nb, nx, ny, nz = extent
+    ncell = nb * nx * ny * nz
+    occb = occ_cells > 0
+    row_of_cell = jnp.cumsum(occb.astype(jnp.int32)) - 1
+    num = jnp.sum(occb.astype(jnp.int32))
+    overflow = num > capacity
+    atlas = jnp.where(occb & (row_of_cell < capacity), row_of_cell, EMPTY)
+    # Invert: cell id of each brick row, then coords arithmetically.
+    dest = jnp.where(atlas >= 0, atlas, capacity)
+    cell_of_row = (
+        jnp.full((capacity + 1,), 0, jnp.int32)
+        .at[dest]
+        .set(jnp.arange(ncell, dtype=jnp.int32), mode="drop")
+    )[:capacity]
+    b = cell_of_row // (nx * ny * nz)
+    r = cell_of_row % (nx * ny * nz)
+    cx = r // (ny * nz)
+    cy = (r // nz) % ny
+    cz = r % nz
+    coords = jnp.stack(
+        [b, cx + origin[0], cy + origin[1], cz + origin[2]], axis=-1
+    ).astype(jnp.int32)
+    valid_rows = jnp.arange(capacity) < jnp.minimum(num, capacity)
+    coords = jnp.where(valid_rows[:, None], coords, vox.PAD_COORD)
+    return atlas, coords, jnp.minimum(num, capacity), overflow
+
+
+def voxelize_bricks(
+    coords: jnp.ndarray,
+    batch_idx: jnp.ndarray,
+    t_idx: jnp.ndarray,
+    valid: jnp.ndarray,
+    *,
+    num_time: int,
+    brick_capacity: int,
+    brick_side: int,
+    extent: tuple,
+    features: jnp.ndarray | None = None,
+):
+    """Atlas-mode equivalent of brick.voxelize_bricks (same returns, with
+    an AtlasGrid instead of a BrickGrid). extent = (NB, NX, NY, NZ) static
+    window capacity in bricks; the dynamic origin is the min valid brick
+    coordinate."""
+    bs = brick_side
+    assert bs & (bs - 1) == 0 and bs >= 2
+    shift = bs.bit_length() - 1
+    bvol = bs**3
+    nb, nx, ny, nz = extent
+    ncell = nb * nx * ny * nz
+
+    bc = coords >> shift
+    local = coords & (bs - 1)
+    big = jnp.int32(1 << 30)
+    origin = jnp.min(
+        jnp.where(valid[:, None], bc, big), axis=0, initial=big
+    ).astype(jnp.int32)
+    flat, inb = _cells(batch_idx, bc, origin, extent)
+    ok = valid & inb
+    out_of_window = jnp.any(valid & ~inb)
+
+    occ_cells = (
+        jnp.zeros((ncell + 1,), jnp.int32)
+        .at[flat]
+        .max(ok.astype(jnp.int32), mode="drop")
+    )[:ncell]
+    atlas, coords_c, num, overflow = _compact(occ_cells, brick_capacity, extent, origin)
+    overflow = overflow | out_of_window
+
+    aext = jnp.concatenate([atlas, jnp.array([EMPTY], jnp.int32)])
+    p2b = jnp.where(ok, aext[jnp.minimum(flat, ncell)], EMPTY)
+    lflat = (local[:, 0] * bs + local[:, 1]) * bs + local[:, 2]
+    point2slot = jnp.where(p2b >= 0, p2b * bvol + lflat, EMPTY)
+
+    pb = jnp.where(p2b >= 0, p2b, brick_capacity)
+    tcl = jnp.clip(t_idx, 0, num_time - 1)
+    occ = (
+        jnp.zeros((brick_capacity + 1, bvol, num_time), jnp.float32)
+        .at[pb, lflat, tcl]
+        .max(ok.astype(jnp.float32))
+    )[:brick_capacity].reshape(brick_capacity, bs, bs, bs, num_time)
+
+    grid = AtlasGrid(
+        coords=coords_c,
+        occ=occ,
+        num_bricks=num,
+        atlas=atlas,
+        origin=origin,
+        extent=extent,
+        overflow=overflow,
+    )
+    if features is None:
+        return grid, point2slot
+    c = features.shape[-1]
+    w = ok.astype(features.dtype)
+    cnt = (
+        jnp.zeros((brick_capacity + 1, bvol, num_time), features.dtype)
+        .at[pb, lflat, tcl]
+        .add(w)
+    )
+    sums = (
+        jnp.zeros((brick_capacity + 1, bvol, num_time, c), features.dtype)
+        .at[pb, lflat, tcl]
+        .add(features * w[:, None])
+    )
+    pooled = sums[:brick_capacity] / jnp.maximum(cnt[:brick_capacity, :, :, None], 1.0)
+    pooled = pooled.reshape(brick_capacity, bs, bs, bs, num_time * c)
+    return grid, point2slot, pooled
+
+
+def downsample(grid: AtlasGrid, coarse_capacity: int, coarse_extent: tuple):
+    """Coarse-level atlas grid (brick coords halve; ME stride-2 output
+    coordinate set). Returns (coarse_grid, fine2coarse)."""
+    bcap = grid.coords.shape[0]
+    bs = grid.occ.shape[1]
+    valid = jnp.arange(bcap) < grid.num_bricks
+    fb = grid.coords[:, 1:] >> 1
+    fbatch = jnp.where(valid, grid.coords[:, 0], -1)
+    corigin = grid.origin >> 1
+    nb, nx, ny, nz = coarse_extent
+    ncell = nb * nx * ny * nz
+    flat, inb = _cells(fbatch, fb, corigin, coarse_extent)
+    ok = valid & inb
+    occ_cells = (
+        jnp.zeros((ncell + 1,), jnp.int32)
+        .at[flat]
+        .max(ok.astype(jnp.int32), mode="drop")
+    )[:ncell]
+    atlas, coords_c, num, overflow = _compact(
+        occ_cells, coarse_capacity, coarse_extent, corigin
+    )
+    aext = jnp.concatenate([atlas, jnp.array([EMPTY], jnp.int32)])
+    f2c = jnp.where(ok, aext[jnp.minimum(flat, ncell)], EMPTY)
+    cgrid = AtlasGrid(
+        coords=coords_c,
+        occ=jnp.zeros((coarse_capacity, bs, bs, bs, grid.occ.shape[-1])),
+        num_bricks=num,
+        atlas=atlas,
+        origin=corigin,
+        extent=coarse_extent,
+        overflow=overflow,
+    )
+    return cgrid, f2c
+
+
+def neighbor_table(grid: AtlasGrid, offsets: np.ndarray) -> jnp.ndarray:
+    """(K, Bcap) neighbor brick rows for static offsets: K dense gathers,
+    zero probe rounds (vs. hash _brick_lookup's probe loops)."""
+    bcap = grid.coords.shape[0]
+    valid = jnp.arange(bcap) < grid.num_bricks
+    batch = jnp.where(valid, grid.coords[:, 0], -1)
+    out = []
+    for off in offsets:
+        q = grid.coords[:, 1:] + jnp.asarray(off, jnp.int32)[None, :]
+        out.append(atlas_rows(grid, batch, q))
+    return jnp.stack(out)
+
+
+def level_extents(extent: tuple, num_levels: int) -> list[tuple]:
+    """Static per-level atlas extents: halve (ceil, +1 for origin-floor
+    slack) per stride doubling."""
+    exts = [extent]
+    for _ in range(num_levels - 1):
+        nb, nx, ny, nz = exts[-1]
+        exts.append((nb, (nx >> 1) + 1, (ny >> 1) + 1, (nz >> 1) + 1))
+    return exts
+
+
+def build_levels(
+    grid0: AtlasGrid, *, num_levels: int, capacities: tuple
+) -> list[bk.BrickLevel]:
+    """Atlas-mode topology pyramid; returns brick.BrickLevel objects (the
+    UNet reads only grid.occ/nbr27/parent/oct/child, so the engines are
+    interchangeable downstream)."""
+    assert capacities[0] == grid0.coords.shape[0]
+    exts = level_extents(grid0.extent, num_levels)
+    grids = [grid0]
+    f2c: list[jnp.ndarray] = []
+    for li in range(num_levels - 1):
+        cg, m = downsample(grids[-1], capacities[li + 1], exts[li + 1])
+        f2c.append(m)
+        grids.append(cg)
+
+    levels: list[bk.BrickLevel] = []
+    for li, g in enumerate(grids):
+        bcap = g.coords.shape[0]
+        nbr27 = neighbor_table(g, np.asarray(bk.OFFS27, np.int32))
+        parent = f2c[li] if li < num_levels - 1 else None
+        oct_ = (g.coords[:, 1:] & 1) if li < num_levels - 1 else None
+        child = None
+        if li > 0:
+            fine = grids[li - 1]
+            bf = fine.coords.shape[0]
+            validf = jnp.arange(bf, dtype=jnp.int32) < fine.num_bricks
+            octf = fine.coords[:, 1:] & 1
+            kflat = octf[:, 0] * 4 + octf[:, 1] * 2 + octf[:, 2]
+            fc = f2c[li - 1]
+            dest = jnp.where(validf & (fc >= 0), fc, bcap)
+            child = (
+                jnp.full((8, bcap + 1), EMPTY, jnp.int32)
+                .at[kflat, dest]
+                .set(jnp.arange(bf, dtype=jnp.int32), mode="drop")
+            )[:, :bcap]
+            g = g._replace(occ=bk.coarse_occ_from_children(grids[li - 1].occ, child))
+            grids[li] = g
+        levels.append(
+            bk.BrickLevel(grid=g, nbr27=nbr27, parent=parent, oct=oct_, child=child)
+        )
+    return levels

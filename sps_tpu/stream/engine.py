@@ -67,7 +67,10 @@ def build_map_table(map_points: np.ndarray, voxel_size: float, capacity: int | N
 
 
 def build_map_bricks(
-    map_points: np.ndarray, voxel_size: float, capacity: int | None = None
+    map_points: np.ndarray,
+    voxel_size: float,
+    capacity: int | None = None,
+    brick_side: int = 4,
 ):
     """Brick-engine map residency: one-time brick grid of the map whose
     per-voxel occupancy masks answer the overlap ("prune") query with a
@@ -76,7 +79,10 @@ def build_map_bricks(
 
     m = len(map_points)
     if capacity is None:
-        capacity = vhash.next_pow2(max(m // 8, 1024))
+        # LiDAR maps are surface-like: occupied bricks scale ~1/side^2
+        # (measured: 69k/17.4k/4.4k bricks at side 4/8/16 for a 1.23M-point
+        # map). m/(2*side^2) gives ~2x headroom over that.
+        capacity = vhash.next_pow2(max(2 * m // (brick_side * brick_side), 1024))
 
     @jax.jit
     def build(points):
@@ -88,6 +94,49 @@ def build_map_bricks(
             jnp.ones((m,), bool),
             num_time=1,
             brick_capacity=capacity,
+            brick_side=brick_side,
+        )
+        return grid
+
+    return build(jnp.asarray(map_points))
+
+
+def build_map_atlas(
+    map_points: np.ndarray,
+    voxel_size: float,
+    brick_side: int,
+    capacity: int | None = None,
+):
+    """Atlas-mode map residency: dense AABB brick grid of the map (the
+    window extent is computed on the host from the map's bounding box —
+    static per deployment). Overlap queries become one dense gather."""
+    from sps_tpu.ops import atlas as atl
+    from sps_tpu.ops import brick as bk  # noqa: F401 (BrickLevel reuse)
+
+    m = len(map_points)
+    if capacity is None:
+        capacity = vhash.next_pow2(max(2 * m // (brick_side * brick_side), 1024))
+    bc_min = np.floor(map_points.min(axis=0) / voxel_size).astype(np.int64) >> int(
+        np.log2(brick_side)
+    )
+    bc_max = np.floor(map_points.max(axis=0) / voxel_size).astype(np.int64) >> int(
+        np.log2(brick_side)
+    )
+    ext = tuple(int(x) for x in (bc_max - bc_min + 2))
+    extent = (1,) + ext
+
+    @jax.jit
+    def build(points):
+        coords = vox.quantize(points, voxel_size)
+        grid, _ = atl.voxelize_bricks(
+            coords,
+            jnp.zeros((m,), jnp.int32),
+            jnp.zeros((m,), jnp.int32),
+            jnp.ones((m,), bool),
+            num_time=1,
+            brick_capacity=capacity,
+            brick_side=brick_side,
+            extent=extent,
         )
         return grid
 
@@ -103,8 +152,15 @@ class StreamingFilter:
         self.sps_cfg = cfg.sps_config(batch_size=1)
         self.model = SPSModel(self.sps_cfg)
         self.variables = variables
-        if cfg.tpu.engine == "brick":
-            self.map_grid = build_map_bricks(map_points, cfg.voxel_size)
+        if cfg.tpu.engine == "atlas":
+            self.map_grid = build_map_atlas(
+                map_points, cfg.voxel_size, cfg.tpu.brick_side
+            )
+            self._fn = self._make_atlas_fn()
+        elif cfg.tpu.engine == "brick":
+            self.map_grid = build_map_bricks(
+                map_points, cfg.voxel_size, brick_side=cfg.tpu.brick_side
+            )
             self._fn = self._make_brick_fn()
         else:
             self.map_table, self.map_voxels = build_map_table(
@@ -112,6 +168,62 @@ class StreamingFilter:
             )
             self._fn = self._make_gather_fn()
         self.eps = cfg.threshold
+
+    def _make_atlas_fn(self):
+        from sps_tpu.ops import atlas as atl
+        from sps_tpu.ops import brick as bk
+
+        cfg = self.cfg
+        model = self.model
+        eps = cfg.threshold
+        vsize = cfg.voxel_size
+        scfg = self.sps_cfg
+        bcap = scfg.caps.bricks[0]
+        map_grid = self.map_grid
+
+        @jax.jit
+        def fn(variables, scan_xyz, valid, labels, pose):
+            xyz = transform_points(scan_xyz, pose)
+            coords = vox.quantize(xyz, vsize)
+            n = scan_xyz.shape[0]
+            grid, p2s = atl.voxelize_bricks(
+                coords,
+                jnp.zeros((n,), jnp.int32),
+                jnp.ones((n,), jnp.int32),  # scan time slot = 1
+                valid,
+                num_time=2,
+                brick_capacity=bcap,
+                brick_side=scfg.brick_side,
+                extent=scfg.atlas_extent,
+            )
+            # Overlap "prune": one dense map-atlas gather per scan brick.
+            bvalid = jnp.arange(bcap) < grid.num_bricks
+            batch0 = jnp.where(bvalid, 0, -1)
+            mrow = atl.atlas_rows(map_grid, batch0, grid.coords[:, 1:])
+            mocc = bk.take_rows(map_grid.occ, mrow)[..., 0]
+            overlap = grid.occ[..., 1] * mocc
+            occ = grid.occ.at[..., 0].set(overlap)
+            grid2 = grid._replace(occ=occ)
+            scores, aux = model.apply(
+                variables,
+                grid=grid2,
+                p2v=p2s,
+                t_idx=jnp.ones((n,), jnp.int32),
+                valid=valid,
+            )
+            keep = (scores <= eps) & valid  # sps_node.py:148
+            stats = {
+                "loss": met.masked_mse(scores, labels, valid),
+                "r2": met.masked_r2(scores, labels, valid),
+                **met.classification_metrics(scores, labels, valid, eps),
+                "n_scan_voxels": jnp.sum(grid.occ[..., 1]).astype(jnp.int32),
+                "n_submap_voxels": jnp.sum(overlap).astype(jnp.int32),
+                "n_kept": jnp.sum(keep.astype(jnp.int32)),
+                "overflow": jnp.any(aux["overflow"]),
+            }
+            return scores, keep, stats
+
+        return fn
 
     def _make_brick_fn(self):
         from sps_tpu.ops import brick as bk
@@ -135,6 +247,7 @@ class StreamingFilter:
                 valid,
                 num_time=2,
                 brick_capacity=bcap,
+                brick_side=cfg.tpu.brick_side,
             )
             # Overlap "prune": one map-brick lookup per scan brick; the
             # map channel's occupancy = scan-voxel AND map-voxel.

@@ -91,6 +91,14 @@ def test_brick_conv_matches_dense_ref(ksize, kt):
     want = ref.conv4d(d, w, ksize, kt)
     want = {k: v for k, v in want.items() if k in got}  # occ-masked slots only
     ref.dict_allclose(want, got, rtol=1e-3, atol=1e-4)
+    # mode="halo" must agree with mode="region" (same conv, different
+    # assembly: materialized concat halo vs region decomposition)
+    out_h = jax.jit(lambda f, n, ww, o: brick.brick_conv(f, n, ww, o, "halo"))(
+        jnp.asarray(feats), levels[0].nbr27, wd, grid.occ
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_h), np.asarray(out), rtol=1e-4, atol=1e-5
+    )
 
 
 def test_brick_down_conv_matches_dense_ref():

@@ -184,6 +184,46 @@ def test_brick_engine_matches_gather_engine():
     np.testing.assert_allclose(np.asarray(sb), np.asarray(sg), rtol=2e-3, atol=2e-4)
 
 
+def test_brick_side8_matches_gather_engine():
+    """Brick side is a pure layout choice: bs=8 must score identically."""
+    import dataclasses
+
+    rng = np.random.default_rng(11)
+    pb = _batch(rng, 500)
+    cfg_b = dataclasses.replace(CFG, engine="brick", brick_side=8)
+    model_g = SPSModel(CFG)
+    model_b = SPSModel(cfg_b)
+    variables = model_g.init(jax.random.PRNGKey(0), pb)
+    sg, _ = jax.jit(lambda v, b: model_g.apply(v, b))(variables, pb)
+    sb, auxb = jax.jit(lambda v, b: model_b.apply(v, b))(variables, pb)
+    assert not bool(np.asarray(auxb["overflow"]).any())
+    np.testing.assert_allclose(np.asarray(sb), np.asarray(sg), rtol=2e-3, atol=2e-4)
+
+
+def test_atlas_engine_matches_gather_engine():
+    """Dense-atlas topology must score identically to the hash engines."""
+    import dataclasses
+
+    rng = np.random.default_rng(13)
+    pb = _batch(rng, 500)
+    for side in (4, 8):
+        cfg_a = dataclasses.replace(
+            CFG,
+            engine="atlas",
+            brick_side=side,
+            atlas_extent=(2, 32, 32, 32),
+        )
+        model_g = SPSModel(CFG)
+        model_a = SPSModel(cfg_a)
+        variables = model_g.init(jax.random.PRNGKey(0), pb)
+        sg, _ = jax.jit(lambda v, b: model_g.apply(v, b))(variables, pb)
+        sa, auxa = jax.jit(lambda v, b, m=model_a: m.apply(v, b))(variables, pb)
+        assert not bool(np.asarray(auxa["overflow"]).any()), f"side={side}"
+        np.testing.assert_allclose(
+            np.asarray(sa), np.asarray(sg), rtol=2e-3, atol=2e-4
+        )
+
+
 def test_train_mode_updates_batch_stats():
     rng = np.random.default_rng(1)
     pb = _batch(rng, 200)
