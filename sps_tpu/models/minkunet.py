@@ -114,10 +114,10 @@ class MaskedBatchNorm(nn.Module):
         shp = feats.shape
         dtype = feats.dtype
         t = occ.shape[-1]
-        f2 = feats.reshape(-1, shp[-1]).astype(jnp.float32)
         o2 = occ.reshape(-1, t)
 
         if train:
+            f2 = feats.reshape(-1, shp[-1]).astype(jnp.float32)
             mean, var = sc.masked_batch_stats(f2, o2)
             cnt = jnp.maximum(jnp.sum(o2), 2.0)
             unbiased = var * cnt / (cnt - 1.0)
@@ -128,10 +128,19 @@ class MaskedBatchNorm(nn.Module):
         else:
             mean, var = ra_mean.value, ra_var.value
 
-        x = f2.reshape(-1, t, c)
+        # The per-channel affine is computed in f32 (tiny), but the big
+        # tensor stays in its compute dtype: an f32 round trip doubles the
+        # HBM traffic of this (memory-bound) op and breaks XLA's fusion of
+        # conv -> bn -> relu -> mask into one output pass.
         inv = jnp.reciprocal(jnp.sqrt(var + self.eps))
-        x = (x - mean) * (inv * scale) + bias
-        out = sc.mask_slots(x.reshape(-1, shp[-1]), o2)
+        s = (inv * scale).astype(dtype)
+        b = (bias - mean * inv * scale).astype(dtype)
+        if train:
+            x = f2.reshape(-1, t, c) * s + b
+            out = sc.mask_slots(x.reshape(-1, shp[-1]).astype(dtype), o2)
+        else:
+            x = feats.reshape(-1, t, c) * s + b
+            out = sc.mask_slots(x.reshape(-1, shp[-1]), o2)
         return out.reshape(shp).astype(dtype)
 
 

@@ -29,8 +29,7 @@ The probing hash remains in use where the key space is genuinely large
 
 from __future__ import annotations
 
-from typing import NamedTuple
-
+import flax.struct
 import jax.numpy as jnp
 import numpy as np
 
@@ -41,12 +40,15 @@ from sps_tpu.ops import voxelize as vox
 EMPTY = vhash.EMPTY
 
 
-class AtlasGrid(NamedTuple):
+@flax.struct.dataclass
+class AtlasGrid:
     """Brick grid whose lookup structure is a dense AABB atlas.
 
     Same role as brick.BrickGrid (coords/occ/num_bricks/overflow have
     identical semantics); `atlas` is the dense (NB*NX*NY*NZ,) int32 cell ->
     brick-row map and `origin` the (3,) brick coordinate of cell (0,0,0).
+    `extent` is static metadata (not a pytree leaf) so grids cross jit
+    boundaries without tracing the window shape.
     """
 
     coords: jnp.ndarray  # (Bcap, 4) int32 [batch, bx, by, bz]
@@ -54,8 +56,11 @@ class AtlasGrid(NamedTuple):
     num_bricks: jnp.ndarray  # () int32
     atlas: jnp.ndarray  # (NB*NX*NY*NZ,) int32
     origin: jnp.ndarray  # (3,) int32
-    extent: tuple  # static (NB, NX, NY, NZ)
     overflow: jnp.ndarray  # () bool
+    extent: tuple = flax.struct.field(pytree_node=False, default=())
+
+    def _replace(self, **kw):  # NamedTuple-compatible spelling
+        return self.replace(**kw)
 
 
 def _cells(batch_idx, bc, origin, extent):

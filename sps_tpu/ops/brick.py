@@ -229,13 +229,17 @@ def downsample_bricks(grid: BrickGrid, coarse_capacity: int) -> tuple[BrickGrid,
 
 
 def gather_children(fine_vals: jnp.ndarray, child: jnp.ndarray) -> jnp.ndarray:
-    """Assemble (Bc, 8, 8, 8, C) fine blocks from (8, Bc) child rows over
-    (Bf, 4, 4, 4, C) fine values (zeros where absent). Assembled via
+    """Assemble (Bc, 2bs,2bs,2bs, C) fine blocks from (8, Bc) child rows
+    over (Bf, bs,bs,bs, C) fine values (zeros where absent). Assembled via
     nested concatenation (dynamic-update-slices would copy the full block
-    per octant)."""
+    per octant). Rows are gathered from the 2D-flattened view — multi-dim
+    row gathers run ~5x slower on TPU (see halo)."""
+    bf = fine_vals.shape[0]
+    flat = fine_vals.reshape(bf, -1)
+    tail = fine_vals.shape[1:]
 
     def blk(k):
-        return take_rows(fine_vals, child[k])
+        return take_rows(flat, child[k]).reshape((child.shape[1],) + tail)
 
     def cz(a, b):  # combine along z
         return jnp.concatenate([a, b], axis=3)
@@ -331,20 +335,47 @@ def halo(feats: jnp.ndarray, nbr27: jnp.ndarray, pad: int) -> jnp.ndarray:
     separable/chained assembly would be cheaper but drops diagonal
     contributions whenever the intermediate face brick is absent).
 
-    Assembled as one nested 27-piece concatenation: XLA emits a single
-    fused write of the halo'd tensor, where the previous in-place
-    (.at[].set) formulation cost 26 full-tensor copy passes (measured 33 ms
-    vs ~4 ms of slab gathers at B=32k, bs=4, C=16 on v5e)."""
+    Gather formulation (measured on v5e at B=12k, bs=8, C=32): gathers of
+    multi-dim rows run ~5x slower than the same bytes as flat 2D rows, and
+    26 separate gather ops cost ~3x more than a few stacked ones. So the
+    26 slabs are grouped into 3 gathers — faces / edges / corners have
+    equal flattened slab lengths within a class — over axis-0-stacked
+    sources with offset row ids (97 ms -> ~9 ms). The halo is then one
+    nested 27-piece concatenation (a single fused write; the previous
+    .at[].set form cost 26 full-tensor copy passes)."""
     b, bs, _, _, c = feats.shape
     assert 1 <= pad <= bs
 
-    def piece(k, dx, dy, dz):
-        if (dx, dy, dz) == (0, 0, 0):
-            return feats
+    def spans(dx, dy, dz):
         sx, _ = _src_dst(dx, pad, bs)
         sy, _ = _src_dst(dy, pad, bs)
         sz, _ = _src_dst(dz, pad, bs)
-        return take_rows(feats[:, sx, sy, sz], nbr27[k])
+        return sx, sy, sz
+
+    classes: dict[int, list] = {1: [], 2: [], 3: []}
+    for k, (dx, dy, dz) in enumerate(OFFS27):
+        if (dx, dy, dz) == (0, 0, 0):
+            continue
+        classes[abs(dx) + abs(dy) + abs(dz)].append((k, dx, dy, dz))
+
+    pieces: dict[int, jnp.ndarray] = {}
+    for items in classes.values():
+        srcs = []
+        idxs = []
+        shapes = []
+        for k, dx, dy, dz in items:
+            sx, sy, sz = spans(dx, dy, dz)
+            sl = feats[:, sx, sy, sz]
+            shapes.append(sl.shape[1:])
+            srcs.append(sl.reshape(b, -1))
+            idxs.append(nbr27[k])
+        stack = jnp.concatenate(srcs, axis=0)  # (len*b, L)
+        idx = jnp.stack(idxs)  # (len, b)
+        off = (jnp.arange(len(items), dtype=jnp.int32) * b)[:, None]
+        flat_idx = jnp.where(idx >= 0, idx + off, -1).reshape(-1)
+        g = take_rows(stack, flat_idx).reshape(len(items), b, -1)
+        for i, (k, dx, dy, dz) in enumerate(items):
+            pieces[k] = g[i].reshape((b,) + shapes[i])
 
     k = 0
     xs = []
@@ -353,7 +384,7 @@ def halo(feats: jnp.ndarray, nbr27: jnp.ndarray, pad: int) -> jnp.ndarray:
         for dy in (-1, 0, 1):
             zs = []
             for dz in (-1, 0, 1):
-                zs.append(piece(k, dx, dy, dz))
+                zs.append(feats if (dx, dy, dz) == (0, 0, 0) else pieces[k])
                 k += 1
             ys.append(jnp.concatenate(zs, axis=3))
         xs.append(jnp.concatenate(ys, axis=2))
@@ -478,7 +509,8 @@ def brick_conv_up(
     bs = occ_fine.shape[1]
     hs = bs // 2
     tcin = coarse_feats.shape[-1]
-    pblock = take_rows(coarse_feats, parent)  # (Bf, bs,bs,bs, TCin)
+    pblock = take_rows(coarse_feats.reshape(coarse_feats.shape[0], -1), parent)
+    pblock = pblock.reshape(bf, bs, bs, bs, tcin)  # 2D-row gather (see halo)
     # Select the (bs/2)^3 octant sub-block; 8 static slices masked by oct.
     sub = jnp.zeros((bf, hs, hs, hs, tcin), coarse_feats.dtype)
     for a, b2, c2 in OCT_OFFSETS:

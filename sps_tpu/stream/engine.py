@@ -179,10 +179,9 @@ class StreamingFilter:
         vsize = cfg.voxel_size
         scfg = self.sps_cfg
         bcap = scfg.caps.bricks[0]
-        map_grid = self.map_grid
 
         @jax.jit
-        def fn(variables, scan_xyz, valid, labels, pose):
+        def fn(variables, map_grid, scan_xyz, valid, labels, pose):
             xyz = transform_points(scan_xyz, pose)
             coords = vox.quantize(xyz, vsize)
             n = scan_xyz.shape[0]
@@ -233,10 +232,9 @@ class StreamingFilter:
         eps = cfg.threshold
         vsize = cfg.voxel_size
         bcap = self.sps_cfg.caps.bricks[0]
-        map_grid = self.map_grid
 
         @jax.jit
-        def fn(variables, scan_xyz, valid, labels, pose):
+        def fn(variables, map_grid, scan_xyz, valid, labels, pose):
             xyz = transform_points(scan_xyz, pose)
             coords = vox.quantize(xyz, vsize)
             n = scan_xyz.shape[0]
@@ -284,10 +282,9 @@ class StreamingFilter:
         eps = cfg.threshold
         vsize = cfg.voxel_size
         vcap = self.sps_cfg.caps.voxels[0]
-        map_table = self.map_table
 
         @jax.jit
-        def fn(variables, scan_xyz, valid, labels, pose):
+        def fn(variables, map_table, scan_xyz, valid, labels, pose):
             xyz = transform_points(scan_xyz, pose)
             coords = vox.quantize(xyz, vsize)
             n = scan_xyz.shape[0]
@@ -331,6 +328,7 @@ class StreamingFilter:
         stats) device arrays. Callers time with block_until_ready."""
         return self._fn(
             self.variables,
+            self.map_grid if self.cfg.tpu.engine in ("atlas", "brick") else self.map_table,
             jnp.asarray(scan_xyz),
             jnp.asarray(valid),
             jnp.asarray(labels),

@@ -81,8 +81,11 @@ def run_localization(
     ns = cfg.tpu.scan_points
     rng = np.random.default_rng(seed)
 
+    # vmap is passed as an argument (NOT closed over): closure arrays are
+    # baked into the program as constants and send XLA compile time from
+    # seconds to tens of minutes at map scale.
     reg_fn = jax.jit(
-        lambda s, v, p: reg.register(vmap, s, v, p, iters=icp_iters)
+        lambda vm, s, v, p: reg.register(vm, s, v, p, iters=icp_iters)
     )
 
     est_list: list[np.ndarray] = []
@@ -128,7 +131,7 @@ def run_localization(
         kept = keep & sv
         kept_frac.append(kept.sum() / max(sv.sum(), 1))
         pose, stats_r = reg_fn(
-            jnp.asarray(sx), jnp.asarray(kept), jnp.asarray(guess.astype(np.float32))
+            vmap, jnp.asarray(sx), jnp.asarray(kept), jnp.asarray(guess.astype(np.float32))
         )
         est = np.asarray(pose)
         est_list.append(est)
