@@ -82,13 +82,17 @@ def mask_any(feats, occ):
 
 def cat_time(a, b, num_time):
     """Skip concat per time slot (ME.cat, minkunet.py:192-216): both
-    operands live on the same coordinate set."""
+    operands live on the same coordinate set. Built from static last-axis
+    slices (no reshape: reshapes of conv outputs force TPU layout
+    copies)."""
     t = num_time
-    sa, sb = a.shape, b.shape
-    ca = a.reshape(sa[:-1] + (t, sa[-1] // t))
-    cb = b.reshape(sb[:-1] + (t, sb[-1] // t))
-    out = jnp.concatenate([ca, cb], axis=-1)
-    return out.reshape(sa[:-1] + (-1,))
+    ca = a.shape[-1] // t
+    cb = b.shape[-1] // t
+    parts = []
+    for i in range(t):
+        parts.append(a[..., i * ca : (i + 1) * ca])
+        parts.append(b[..., i * cb : (i + 1) * cb])
+    return jnp.concatenate(parts, axis=-1)
 
 
 class MaskedBatchNorm(nn.Module):
@@ -129,19 +133,21 @@ class MaskedBatchNorm(nn.Module):
             mean, var = ra_mean.value, ra_var.value
 
         # The per-channel affine is computed in f32 (tiny), but the big
-        # tensor stays in its compute dtype: an f32 round trip doubles the
-        # HBM traffic of this (memory-bound) op and breaks XLA's fusion of
-        # conv -> bn -> relu -> mask into one output pass.
+        # tensor stays in its compute dtype and its layout: an f32 round
+        # trip doubles the HBM traffic of this (memory-bound) op, and any
+        # reshape of a conv output forces a TPU layout copy. Tiling the
+        # affine to (T*C,) keeps everything elementwise on the raw shape.
         inv = jnp.reciprocal(jnp.sqrt(var + self.eps))
-        s = (inv * scale).astype(dtype)
-        b = (bias - mean * inv * scale).astype(dtype)
+        s = jnp.tile((inv * scale).astype(dtype), t)
+        b = jnp.tile((bias - mean * inv * scale).astype(dtype), t)
         if train:
-            x = f2.reshape(-1, t, c) * s + b
-            out = sc.mask_slots(x.reshape(-1, shp[-1]).astype(dtype), o2)
+            x = f2 * s + b
+            out = sc.mask_slots(x.astype(dtype), o2).reshape(shp)
         else:
-            x = feats.reshape(-1, t, c) * s + b
-            out = sc.mask_slots(x.reshape(-1, shp[-1]), o2)
-        return out.reshape(shp).astype(dtype)
+            x = feats * s + b
+            occ_rep = jnp.repeat(occ, c, axis=-1).astype(dtype)
+            out = x * occ_rep
+        return out.astype(dtype)
 
 
 class SpConv(nn.Module):

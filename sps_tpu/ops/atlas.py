@@ -88,11 +88,17 @@ def atlas_rows(grid: AtlasGrid, batch_idx, bc):
     return jnp.where(inb, r, EMPTY)
 
 
-def _compact(occ_cells, capacity, extent, origin):
+def _compact(occ_cells, capacity, extent, origin, src_cells=None, src_ok=None):
     """occupancy bitmap over cells -> (atlas, coords, num, overflow).
 
     atlas[cell] = compact brick row (EMPTY if vacant); coords[row] =
-    [batch, bx, by, bz] of that brick (PAD_COORD beyond num)."""
+    [batch, bx, by, bz] of that brick (PAD_COORD beyond num).
+
+    src_cells/src_ok: the (much shorter) list of source-entity cells that
+    produced the occupancy — points at L0, fine bricks at coarser levels.
+    The row->cell inversion then scatters |src| updates instead of
+    iterating all ncell cells (TPU scatter cost scales with update count;
+    measured 7 ms/level for the full-iota form at BLT scale)."""
     nb, nx, ny, nz = extent
     ncell = nb * nx * ny * nz
     occb = occ_cells > 0
@@ -101,12 +107,22 @@ def _compact(occ_cells, capacity, extent, origin):
     overflow = num > capacity
     atlas = jnp.where(occb & (row_of_cell < capacity), row_of_cell, EMPTY)
     # Invert: cell id of each brick row, then coords arithmetically.
-    dest = jnp.where(atlas >= 0, atlas, capacity)
-    cell_of_row = (
-        jnp.full((capacity + 1,), 0, jnp.int32)
-        .at[dest]
-        .set(jnp.arange(ncell, dtype=jnp.int32), mode="drop")
-    )[:capacity]
+    if src_cells is None:
+        dest = jnp.where(atlas >= 0, atlas, capacity)
+        cell_of_row = (
+            jnp.full((capacity + 1,), 0, jnp.int32)
+            .at[dest]
+            .set(jnp.arange(ncell, dtype=jnp.int32), mode="drop")
+        )[:capacity]
+    else:
+        aext = jnp.concatenate([atlas, jnp.array([EMPTY], jnp.int32)])
+        rows = jnp.where(src_ok, aext[jnp.minimum(src_cells, ncell)], EMPTY)
+        dest = jnp.where(rows >= 0, rows, capacity)
+        cell_of_row = (
+            jnp.zeros((capacity + 1,), jnp.int32)
+            .at[dest]
+            .set(src_cells, mode="drop")
+        )[:capacity]
     b = cell_of_row // (nx * ny * nz)
     r = cell_of_row % (nx * ny * nz)
     cx = r // (ny * nz)
@@ -158,7 +174,9 @@ def voxelize_bricks(
         .at[flat]
         .max(ok.astype(jnp.int32), mode="drop")
     )[:ncell]
-    atlas, coords_c, num, overflow = _compact(occ_cells, brick_capacity, extent, origin)
+    atlas, coords_c, num, overflow = _compact(
+        occ_cells, brick_capacity, extent, origin, src_cells=flat, src_ok=ok
+    )
     overflow = overflow | out_of_window
 
     aext = jnp.concatenate([atlas, jnp.array([EMPTY], jnp.int32)])
@@ -221,7 +239,7 @@ def downsample(grid: AtlasGrid, coarse_capacity: int, coarse_extent: tuple):
         .max(ok.astype(jnp.int32), mode="drop")
     )[:ncell]
     atlas, coords_c, num, overflow = _compact(
-        occ_cells, coarse_capacity, coarse_extent, corigin
+        occ_cells, coarse_capacity, coarse_extent, corigin, src_cells=flat, src_ok=ok
     )
     aext = jnp.concatenate([atlas, jnp.array([EMPTY], jnp.int32)])
     f2c = jnp.where(ok, aext[jnp.minimum(flat, ncell)], EMPTY)

@@ -392,12 +392,15 @@ def halo(feats: jnp.ndarray, nbr27: jnp.ndarray, pad: int) -> jnp.ndarray:
 
 
 def mask_bricks(feats: jnp.ndarray, occ: jnp.ndarray) -> jnp.ndarray:
-    """Zero phantom (voxel, t) slots. feats (B,4,4,4,T*C), occ (B,4,4,4,T)."""
-    shp = feats.shape
+    """Zero phantom (voxel, t) slots. feats (B,s,s,s,T*C), occ (B,s,s,s,T).
+
+    Implemented as an elementwise multiply with channel-repeated occupancy
+    (NOT a reshape to (..., T, C)): reshapes of conv outputs force layout
+    copies — conv results live batch-minor on TPU — while elementwise ops
+    are layout-agnostic and fuse into the producer."""
     t = occ.shape[-1]
-    c = shp[-1] // t
-    x = feats.reshape(shp[:-1] + (t, c)) * occ[..., None].astype(feats.dtype)
-    return x.reshape(shp)
+    c = feats.shape[-1] // t
+    return feats * jnp.repeat(occ, c, axis=-1).astype(feats.dtype)
 
 
 def _conv3d(x, w, padding):

@@ -180,11 +180,13 @@ def sparse_conv_1x1(
 
 
 def mask_slots(feats: jnp.ndarray, occ: jnp.ndarray) -> jnp.ndarray:
-    """Zero features of phantom (voxel, t) slots. feats (V, T*C), occ (V, T)."""
-    v, tc = feats.shape
+    """Zero features of phantom (voxel, t) slots. feats (V, T*C), occ (V, T).
+
+    Elementwise multiply with channel-repeated occupancy — layout-agnostic
+    (no reshape), so it fuses into the producer (see brick.mask_bricks)."""
     t = occ.shape[1]
-    c = tc // t
-    return (feats.reshape(v, t, c) * occ[:, :, None].astype(feats.dtype)).reshape(v, tc)
+    c = feats.shape[1] // t
+    return feats * jnp.repeat(occ, c, axis=1).astype(feats.dtype)
 
 
 def masked_batch_stats(
