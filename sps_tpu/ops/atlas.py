@@ -88,6 +88,21 @@ def atlas_rows(grid: AtlasGrid, batch_idx, bc):
     return jnp.where(inb, r, EMPTY)
 
 
+def _prefix_rows(occb: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive prefix count minus one over a cell-occupancy bitmap.
+
+    XLA lowers a plain jnp.cumsum over millions of elements to a slow
+    chain of dynamic-slice reductions on TPU; a Hillis–Steele log-shift
+    scan is ~log2(n) fully-vectorized passes instead."""
+    x = occb.astype(jnp.int32)
+    n = x.shape[0]
+    k = 1
+    while k < n:
+        x = x + jnp.pad(x, (k, 0))[:n]
+        k *= 2
+    return x - 1
+
+
 def _compact(occ_cells, capacity, extent, origin, src_cells=None, src_ok=None):
     """occupancy bitmap over cells -> (atlas, coords, num, overflow).
 
@@ -102,7 +117,7 @@ def _compact(occ_cells, capacity, extent, origin, src_cells=None, src_ok=None):
     nb, nx, ny, nz = extent
     ncell = nb * nx * ny * nz
     occb = occ_cells > 0
-    row_of_cell = jnp.cumsum(occb.astype(jnp.int32)) - 1
+    row_of_cell = _prefix_rows(occb)
     num = jnp.sum(occb.astype(jnp.int32))
     overflow = num > capacity
     atlas = jnp.where(occb & (row_of_cell < capacity), row_of_cell, EMPTY)
