@@ -74,6 +74,9 @@ def main():
     ap.add_argument("--brick-side", type=int, default=None)
     ap.add_argument("--conv-mode", default=None)
     ap.add_argument("--bricks", default=None, help="csv per-level caps (batch budget)")
+    ap.add_argument("--row-from", type=int, default=None)
+    ap.add_argument("--batch", type=int, default=int(os.environ.get("BENCH_BATCH", "1")),
+                    help="scans per dispatch (atlas engine); throughput mode")
     args = ap.parse_args()
 
     cfg = cfg_mod.load(
@@ -88,6 +91,8 @@ def main():
         over["conv_mode"] = args.conv_mode
     if args.bricks:
         over["bricks"] = tuple(int(x) for x in args.bricks.split(","))
+    if args.row_from is not None:
+        over["row_from"] = args.row_from
     if over:
         cfg = dataclasses.replace(cfg, tpu=dataclasses.replace(cfg.tpu, **over))
     n_scans, ns = 24, cfg.tpu.scan_points
@@ -99,7 +104,7 @@ def main():
     state = tr.create_state(cfg, jax.random.PRNGKey(0), steps_per_epoch=1)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     _log("build map table")
-    filt = StreamingFilter(cfg, variables, stable)
+    filt = StreamingFilter(cfg, variables, stable, batch=args.batch)
 
     # Honest-timing protocol for the axon runtime: dispatch is async and
     # block_until_ready does NOT wait for execution (measured: 27 TFLOP
@@ -108,23 +113,32 @@ def main():
     # wall-clock per call = dispatch overhead + TRUE device time. So we
     # deliberately poison the session BEFORE timing and accept the ~35 ms
     # per-dispatch tax (negligible at current per-scan costs).
+    nb = args.batch
+    poses_np = np.stack(poses)
+
+    def batch_args(i):
+        sl = [(i + j) % n_scans for j in range(nb)]
+        if nb == 1:
+            return scans[sl[0]], valids[sl[0]], labels[sl[0]], poses_np[sl[0]]
+        return scans[sl], valids[sl], labels[sl], poses_np[sl]
+
     _log("warmup/compile")
-    scores, keep, stats = filt(scans[0], valids[0], labels[0], poses[0])
+    scores, keep, stats = filt(*batch_args(0))
     jax.block_until_ready(scores)
     import jax.numpy as jnp
     _ = int(jnp.sum(keep))  # sync-mode latch; also forces real execution
 
-    _log("timing (sync mode)")
+    _log(f"timing (sync mode, batch={nb})")
     lat = []
     for i in range(n_scans):
         t0 = time.perf_counter()
-        scores, keep, stats = filt(scans[i], valids[i], labels[i], poses[i])
+        scores, keep, stats = filt(*batch_args(i * nb))
         jax.block_until_ready((scores, keep))
         lat.append(time.perf_counter() - t0)
-        _log(f"scan {i}: {lat[-1]:.3f}s")
+        _log(f"dispatch {i} ({nb} scan{'s' if nb > 1 else ''}): {lat[-1]:.3f}s")
     lat = np.asarray(lat)
     p50 = float(np.percentile(lat, 50))
-    sps = 1.0 / p50
+    sps = nb / p50
 
     mean_pts = float(np.mean([v.sum() for v in valids]))
     result = {
@@ -138,6 +152,7 @@ def main():
         "scan_voxels": int(stats["n_scan_voxels"]),
         "submap_voxels": int(stats["n_submap_voxels"]),
         "overflow": bool(stats["overflow"]),
+        "batch": nb,
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))

@@ -95,37 +95,37 @@ def main():
         got = np.asarray(jax.jit(fn)(h, ww), np.float32)
         log(f"{name} max|diff| = {np.max(np.abs(got - ref)):.4f}")
 
-    def chain(fn, ww):
-        def run(hh):
+    def chain(fn):
+        def run(hh, ww):
             def body(i, carry):
                 out = fn(carry, ww)
                 tap = jnp.ravel(out)[0]
                 upd = (tap * 0).astype(carry.dtype)
                 return carry + upd
 
-            return jax.lax.fori_loop(0, ITERS, body, h)
+            return jax.lax.fori_loop(0, ITERS, body, hh)
 
         return jax.jit(run)
 
     cands = {
-        "ndhwc ": chain(ndhwc, w),
-        "ncdhw ": chain(ncdhw, w),
-        "shifts": chain(shifts, w),
-        "zband ": chain(zband, wzj),
-        "null  ": jax.jit(lambda hh: hh * 1.0),
+        "ndhwc ": (chain(ndhwc), w),
+        "ncdhw ": (chain(ncdhw), w),
+        "shifts": (chain(shifts), w),
+        "zband ": (chain(zband), wzj),
+        "null  ": (jax.jit(lambda hh, ww: hh * 1.0), w),
     }
-    for name, fn in cands.items():
-        jax.block_until_ready(fn(h))
+    for name, (fn, ww) in cands.items():
+        jax.block_until_ready(fn(h, ww))
 
     from sps_tpu.utils.profiling import latch_sync_mode
 
     latch_sync_mode()
     res = {}
-    for name, fn in cands.items():
+    for name, (fn, ww) in cands.items():
         ts = []
         for _ in range(4):
             t0 = time.perf_counter()
-            jax.block_until_ready(fn(h))
+            jax.block_until_ready(fn(h, ww))
             ts.append(time.perf_counter() - t0)
         res[name] = float(np.percentile(ts, 50))
     base = res["null  "]

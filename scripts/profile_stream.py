@@ -36,6 +36,7 @@ def main():
     ap.add_argument("--brick-side", type=int, default=None)
     ap.add_argument("--conv-mode", default=None)
     ap.add_argument("--bricks", default=None, help="csv per-level brick caps (batch budget)")
+    ap.add_argument("--row-from", type=int, default=None)
     ap.add_argument("--fused", action="store_true")
     args = ap.parse_args()
 
@@ -67,6 +68,8 @@ def main():
         tpu_over["conv_mode"] = args.conv_mode
     if args.bricks is not None:
         tpu_over["bricks"] = tuple(int(x) for x in args.bricks.split(","))
+    if args.row_from is not None:
+        tpu_over["row_from"] = args.row_from
     if tpu_over:
         cfg = dataclasses.replace(cfg, tpu=dataclasses.replace(cfg.tpu, **tpu_over))
 
@@ -180,7 +183,12 @@ def main():
     nb = int(g.num_bricks)
     log(f"bricks occupied at L0: {nb} / cap {bcap}")
     for li, l in enumerate(lv):
-        log(f"  L{li}: {int(l.grid.num_bricks)} / {l.grid.coords.shape[0]}")
+        gg = l.grid
+        if hasattr(gg, "num_rows"):
+            log(f"  L{li}: rows {int(gg.num_rows)} / {gg.occ.shape[0]}"
+                f" (overflow={bool(gg.overflow)})")
+        else:
+            log(f"  L{li}: {int(gg.num_bricks)} / {gg.coords.shape[0]}")
 
     def timeit(name, fn, *a):
         ts = []

@@ -56,6 +56,9 @@ class TPUConfig:
     # one scan+submap AABB at L0 brick granularity.
     atlas_extent: tuple = (256, 256, 96)
     conv_mode: str = "region"  # brick stride-1 conv: "region" | "halo"
+    # First pyramid level run on the compact voxel-row engine (atlas
+    # engine); 0/absent disables.
+    row_from: int = 0
     max_per_cell: int = 8
     bf16: bool = False
 
@@ -86,7 +89,7 @@ class Config:
         # cap, so pow2 rounding would waste up to 2x; only hash tables need
         # pow2 and they size themselves).
         def rup(x):
-            return max(512, (x + 511) // 512 * 512)
+            return max(256, (x + 127) // 128 * 128)
 
         factor = bs / max(self.train.batch_size, 1)
         caps = Capacities(
@@ -108,6 +111,7 @@ class Config:
             engine=self.tpu.engine,
             brick_side=self.tpu.brick_side,
             atlas_extent=(bs,) + tuple(self.tpu.atlas_extent),
+            row_from=self.tpu.row_from if self.tpu.row_from > 0 else None,
         )
 
 
@@ -150,6 +154,7 @@ def load(path: str, data_root: str | None = None) -> Config:
             brick_side=int(tpu.get("BRICK_SIDE", TPUConfig.brick_side)),
             atlas_extent=tuple(tpu.get("ATLAS_EXTENT", TPUConfig.atlas_extent)),
             conv_mode=str(tpu.get("CONV_MODE", TPUConfig.conv_mode)),
+            row_from=int(tpu.get("ROW_FROM", TPUConfig.row_from)),
             max_per_cell=int(tpu.get("MAX_PER_CELL", TPUConfig.max_per_cell)),
             bf16=bool(tpu.get("BF16", False)),
         ),

@@ -34,6 +34,7 @@ from typing import Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
+from sps_tpu.ops import atlas as atl
 from sps_tpu.ops import brick as bk
 from sps_tpu.ops import sparse_conv as sc
 
@@ -68,6 +69,10 @@ def _kaiming(key, shape, dtype=jnp.float32):
 
 def _is_brick(lvl) -> bool:
     return isinstance(lvl, bk.BrickLevel)
+
+
+def _is_row(lvl) -> bool:
+    return isinstance(lvl, atl.RowLevel)
 
 
 def occ_of(lvl):
@@ -182,6 +187,9 @@ class SpConv(nn.Module):
             wd = bk.pack_dense_kernel(w, self.num_time)
             return bk.brick_conv(feats, lvl.nbr27, wd, occ, self.conv_mode)
         wp = sc.pack_time_toeplitz(w, self.num_time)
+        if _is_row(lvl):
+            assert self.ksize == 3, "row levels carry 27-neighbor tables only"
+            return sc.sparse_conv(feats, lvl.nbr27, wp, occ, unroll=True)
         return sc.sparse_conv(feats, lvl.nbr[self.ksize], wp, occ)
 
 
@@ -199,6 +207,11 @@ class SpConvDown(nn.Module):
         occ = occ_of(coarse_lvl)
         if _is_brick(coarse_lvl):
             return bk.brick_conv_down(feats, coarse_lvl.child, wp, occ)
+        if _is_row(coarse_lvl):
+            # Hybrid boundary: the finer features may still be brick-form;
+            # child then indexes flat brick slots.
+            f2 = feats.reshape(-1, feats.shape[-1]) if feats.ndim == 5 else feats
+            return sc.sparse_conv_down(f2, coarse_lvl.child, wp, occ)
         return sc.sparse_conv_down(feats, coarse_lvl.child, wp, occ)
 
 
@@ -215,6 +228,10 @@ class SpConvUp(nn.Module):
         wp = sc.pack_time_toeplitz(w.astype(feats.dtype), self.num_time)
         occ = occ_of(fine_lvl)
         if _is_brick(fine_lvl):
+            if feats.ndim == 2:  # hybrid boundary: coarse side is rows
+                return bk.brick_conv_up_from_rows(
+                    feats, fine_lvl.parent_rows, wp, occ
+                )
             return bk.brick_conv_up(feats, fine_lvl.parent, fine_lvl.oct, wp, occ)
         return sc.sparse_conv_up(feats, fine_lvl.parent, fine_lvl.parity, wp, occ)
 

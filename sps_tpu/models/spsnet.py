@@ -48,6 +48,11 @@ class SPSConfig:
     brick_side: int = 4
     # Static atlas window (NB, NX, NY, NZ) in bricks; engine="atlas" only.
     atlas_extent: tuple = (2, 256, 256, 96)
+    # Hybrid pyramid (engine="atlas"): convert levels >= row_from to the
+    # compact voxel-row engine (deep levels are ~5% occupied inside
+    # bricks; rows avoid phantom-slot FLOPs). None = all-brick. Row
+    # capacities come from caps.voxels.
+    row_from: int | None = None
 
 
 def build_levels_from_grid(grid, cfg: SPSConfig):
@@ -56,6 +61,8 @@ def build_levels_from_grid(grid, cfg: SPSConfig):
         levels = atl.build_levels(
             grid, num_levels=NUM_LEVELS, capacities=cfg.caps.bricks
         )
+        if cfg.row_from is not None:
+            levels = atl.hybridize_levels(levels, cfg.row_from, cfg.caps.voxels)
     elif isinstance(grid, bk.BrickGrid):
         levels = bk.build_brick_levels(
             grid, num_levels=NUM_LEVELS, capacities=cfg.caps.bricks

@@ -293,6 +293,208 @@ def level_extents(extent: tuple, num_levels: int) -> list[tuple]:
     return exts
 
 
+class RowGrid(flax.struct.PyTreeNode):
+    """Compact voxel-row view of a deep level (see RowLevel)."""
+
+    occ: jnp.ndarray  # (V, T)
+    num_rows: jnp.ndarray  # ()
+    overflow: jnp.ndarray  # ()
+
+
+class RowLevel(flax.struct.PyTreeNode):
+    """Voxel-row topology for a deep pyramid level.
+
+    Deep MinkUNet levels are extremely sparse inside bricks (~5% slot
+    occupancy at L3/L4 of a BLT scan), so the dense-brick formulation
+    wastes 6-80x FLOPs/bytes on phantom slots there. This level type
+    compacts the occupied (voxel, t) slots of a brick level into rows and
+    runs the row-gather conv engine (ops.sparse_conv) on them — the
+    brick machinery still provides all neighbor/parent structure, so no
+    probing hash is involved.
+
+    Index domains:
+      * nbr27[k, v]  -> row in this level
+      * child[k, c]  -> row in the FINER level, or flat brick slot
+        (brick_row * bs^3 + local) if the finer level is brick-form
+      * parent[v]    -> row in the COARSER level (with parity[v])
+    """
+
+    grid: RowGrid
+    nbr27: jnp.ndarray  # (27, V)
+    brick_of_row: jnp.ndarray  # (V,)
+    lflat_of_row: jnp.ndarray  # (V,)
+    child: jnp.ndarray | None = None  # (8, V)
+    parent: jnp.ndarray | None = None  # (V,)
+    parity: jnp.ndarray | None = None  # (V,)
+
+
+def _row_compact(occ_any_flat: jnp.ndarray, capacity: int):
+    """(S,) slot-occupancy -> (rowmap (S+1,), slot_of_row (V,), num,
+    overflow). rowmap[s] = compact row or EMPTY; slot_of_row inverts it."""
+    s = occ_any_flat.shape[0]
+    flag = occ_any_flat > 0
+    pref = _prefix_rows(flag)
+    num = jnp.sum(flag.astype(jnp.int32))
+    overflow = num > capacity
+    rows = jnp.where(flag & (pref < capacity), pref, EMPTY)
+    rowmap = jnp.concatenate([rows, jnp.array([EMPTY], jnp.int32)])
+    dest = jnp.where(rows >= 0, rows, capacity)
+    slot_of_row = (
+        jnp.zeros((capacity + 1,), jnp.int32)
+        .at[dest]
+        .set(jnp.arange(s, dtype=jnp.int32), mode="drop")
+    )[:capacity]
+    return rowmap, slot_of_row, jnp.minimum(num, capacity), overflow
+
+
+
+def hybridize_levels(
+    levels: list, row_from: int, row_caps: tuple
+) -> list:
+    """Convert levels[row_from:] of a brick pyramid to RowLevels, wiring
+    strided maps across the representation boundary.
+
+    Returns a mixed list [BrickLevel, ..., RowLevel, ...]. The boundary
+    fine BrickLevel (row_from - 1) gains a `parent_rows` table
+    (Bf, bs/2, bs/2, bs/2) of coarse ROW ids for its transpose conv."""
+    n = len(levels)
+    assert 1 <= row_from < n
+    out: list = list(levels)
+    rowmaps: dict[int, jnp.ndarray] = {}
+    rowlvls: dict[int, RowLevel] = {}
+
+    for li in range(row_from, n):
+        bl = levels[li]
+        occ_b = bl.grid.occ
+        bcap, bs = occ_b.shape[0], occ_b.shape[1]
+        bvol = bs**3
+        t = occ_b.shape[-1]
+        s = bcap * bvol
+        capacity = row_caps[li]
+        occ_flat = occ_b.reshape(s, t)
+        any_t = jnp.max(occ_flat, axis=-1)
+        rowmap, slot_of_row, num, overflow = _row_compact(any_t, capacity)
+        brick_of_row = slot_of_row // bvol
+        lflat_of_row = slot_of_row % bvol
+        valid_rows = jnp.arange(capacity) < num
+        occ_rows = bk.take_rows(occ_flat, slot_of_row) * valid_rows[:, None]
+
+        lx = lflat_of_row // (bs * bs)
+        ly = (lflat_of_row // bs) % bs
+        lz = lflat_of_row % bs
+
+        def rows_at(nbrick, nlx, nly, nlz, rowmap=rowmap, bvol=bvol, bs=bs, s=s):
+            nl = (nlx * bs + nly) * bs + nlz
+            slot = jnp.where(nbrick >= 0, nbrick * bvol + nl, s)
+            return rowmap[jnp.minimum(slot, s)]
+
+        # 27-neighbor voxel table via the brick 27-table (a voxel offset
+        # of +-1 crosses at most one brick boundary per axis).
+        nbrs = []
+        for dx, dy, dz in bk.OFFS27:
+            nlx, nly, nlz = lx + dx, ly + dy, lz + dz
+            cx = jnp.clip(nlx, -1, bs) // bs
+            cy = jnp.clip(nly, -1, bs) // bs
+            cz = jnp.clip(nlz, -1, bs) // bs
+            kidx = ((cx + 1) * 3 + (cy + 1)) * 3 + (cz + 1)
+            nbrick = bl.nbr27.reshape(-1)[kidx * bcap + brick_of_row]
+            nbrs.append(
+                rows_at(nbrick, nlx & (bs - 1), nly & (bs - 1), nlz & (bs - 1))
+            )
+        nbr27 = jnp.where(valid_rows[None, :], jnp.stack(nbrs), EMPTY)
+
+        child = _hybrid_child(
+            bl, levels[li - 1], brick_of_row, lx, ly, lz, bs,
+            rowmaps.get(li - 1), valid_rows,
+        )
+
+        rowlvls[li] = RowLevel(
+            grid=RowGrid(
+                occ=occ_rows, num_rows=num, overflow=bl.grid.overflow | overflow
+            ),
+            nbr27=nbr27,
+            brick_of_row=brick_of_row,
+            lflat_of_row=lflat_of_row,
+            child=child,
+        )
+        rowmaps[li] = rowmap
+
+    # parent/parity links (fine row level -> coarse row level).
+    for li in range(row_from, n - 1):
+        rl = rowlvls[li]
+        bl = levels[li]
+        bs = bl.grid.occ.shape[1]
+        hs = bs // 2
+        pbrick = bl.parent[jnp.clip(rl.brick_of_row, 0)]
+        octf = bl.oct[jnp.clip(rl.brick_of_row, 0)]  # (V, 3)
+        lx = rl.lflat_of_row // (bs * bs)
+        ly = (rl.lflat_of_row // bs) % bs
+        lz = rl.lflat_of_row % bs
+        # fine voxel u = bs*bc + l; parent voxel floor(u/2) lives in brick
+        # parent[bc] at local (bs/2)*oct + (l >> 1).
+        plx = octf[:, 0] * hs + (lx >> 1)
+        ply = octf[:, 1] * hs + (ly >> 1)
+        plz = octf[:, 2] * hs + (lz >> 1)
+        pl = (plx * bs + ply) * bs + plz
+        cbcap = levels[li + 1].grid.occ.shape[0]
+        cs = cbcap * bs**3
+        pslot = jnp.where(pbrick >= 0, pbrick * bs**3 + pl, cs)
+        parent = rowmaps[li + 1][jnp.minimum(pslot, cs)]
+        parity = ((lx & 1) * 2 + (ly & 1)) * 2 + (lz & 1)
+        rowlvls[li] = rowlvls[li].replace(parent=parent, parity=parity)
+
+    # Boundary: the fine BrickLevel (row_from - 1) gets coarse ROW ids of
+    # its (bs/2)^3 parent-voxel block for the transpose conv.
+    fb = levels[row_from - 1]
+    bs = fb.grid.occ.shape[1]
+    hs = bs // 2
+    cbcap = levels[row_from].grid.occ.shape[0]
+    cs = cbcap * bs**3
+    ax = np.arange(hs)
+    plx = fb.oct[:, 0, None, None, None] * hs + ax[None, :, None, None]
+    ply = fb.oct[:, 1, None, None, None] * hs + ax[None, None, :, None]
+    plz = fb.oct[:, 2, None, None, None] * hs + ax[None, None, None, :]
+    pl = (plx * bs + ply) * bs + plz  # (Bf, hs, hs, hs)
+    pbrick = fb.parent[:, None, None, None]
+    pslot = jnp.where(pbrick >= 0, pbrick * bs**3 + pl, cs)
+    parent_rows = rowmaps[row_from][jnp.minimum(pslot, cs)]
+    out[row_from - 1] = fb._replace(parent_rows=parent_rows)
+    for li in range(row_from, n):
+        out[li] = rowlvls[li]
+    return out
+
+
+def _hybrid_child(
+    bl,
+    fine_bl,
+    brick_of_row,
+    lx,
+    ly,
+    lz,
+    bs: int,
+    fine_rowmap,
+    valid_rows,
+):
+    """(8, V) down-conv sources for a row level: fine ROW ids if the finer
+    level has a rowmap, else flat fine brick slots."""
+    bcap = bl.grid.occ.shape[0]
+    fbcap = fine_bl.grid.occ.shape[0]
+    bvol = bs**3
+    fs = fbcap * bvol
+    outs = []
+    for a, b2, c2 in bk.OCT_OFFSETS:
+        fx, fy, fz = 2 * lx + a, 2 * ly + b2, 2 * lz + c2
+        kflat = ((fx // bs) * 2 + (fy // bs)) * 2 + (fz // bs)
+        fbrick = bl.child.reshape(-1)[kflat * bcap + brick_of_row]
+        fl = ((fx & (bs - 1)) * bs + (fy & (bs - 1))) * bs + (fz & (bs - 1))
+        fslot = jnp.where(fbrick >= 0, fbrick * bvol + fl, fs)
+        if fine_rowmap is not None:
+            outs.append(fine_rowmap[jnp.minimum(fslot, fs)])
+        else:
+            outs.append(jnp.where(fslot < fs, fslot, EMPTY))
+    return jnp.where(valid_rows[None, :], jnp.stack(outs), EMPTY)
+
+
 def build_levels(
     grid0: AtlasGrid, *, num_levels: int, capacities: tuple
 ) -> list[bk.BrickLevel]:

@@ -65,6 +65,9 @@ class BrickLevel(NamedTuple):
     parent: jnp.ndarray | None  # (B,) coarse brick row
     oct: jnp.ndarray | None  # (B, 3) octant (bcoords & 1) per axis
     child: jnp.ndarray | None  # (8, B) fine brick rows (OCT_OFFSETS order)
+    # Hybrid pyramids only (atlas.hybridize_levels): coarse ROW ids of this
+    # level's (bs/2)^3 parent-voxel block, (B, bs/2, bs/2, bs/2).
+    parent_rows: jnp.ndarray | None = None
 
 
 def take_rows(feats: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
@@ -526,6 +529,32 @@ def brick_conv_up(
     # Expand: fine[2i+a, 2j+b, 2k+c] = sub[i,j,k] @ W[(a,b,c)].
     tcout = w_packed.shape[-1]
     out = jnp.zeros((bf, bs, bs, bs, tcout), coarse_feats.dtype)
+    for k2, (a, b2, c2) in enumerate(OCT_OFFSETS):
+        out = out.at[:, a::2, b2::2, c2::2].set(sub @ w_packed[k2])
+    return mask_bricks(out, occ_fine)
+
+
+def brick_conv_up_from_rows(
+    row_feats: jnp.ndarray,
+    parent_rows: jnp.ndarray,
+    w_packed: jnp.ndarray,
+    occ_fine: jnp.ndarray,
+) -> jnp.ndarray:
+    """Transpose kernel-2 stride-2 conv across the hybrid boundary: fine
+    BRICKS pull their (bs/2)^3 parent-voxel block from coarse ROWS.
+
+    row_feats: (Vc, T*Cin) coarse row features.
+    parent_rows: (Bf, hs, hs, hs) coarse row ids (atlas.hybridize_levels).
+    w_packed: (8, T*Cin, T*Cout) OCT_OFFSETS parity order.
+    occ_fine: (Bf, bs, bs, bs, T)."""
+    bf, hs = parent_rows.shape[0], parent_rows.shape[1]
+    bs = occ_fine.shape[1]
+    tcin = row_feats.shape[-1]
+    sub = take_rows(row_feats, parent_rows.reshape(-1)).reshape(
+        bf, hs, hs, hs, tcin
+    )
+    tcout = w_packed.shape[-1]
+    out = jnp.zeros((bf, bs, bs, bs, tcout), row_feats.dtype)
     for k2, (a, b2, c2) in enumerate(OCT_OFFSETS):
         out = out.at[:, a::2, b2::2, c2::2].set(sub @ w_packed[k2])
     return mask_bricks(out, occ_fine)

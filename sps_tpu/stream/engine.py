@@ -144,12 +144,19 @@ def build_map_atlas(
 
 
 class StreamingFilter:
-    """Holds the resident map + compiled per-scan function."""
+    """Holds the resident map + compiled per-scan function.
 
-    def __init__(self, cfg: Config, variables, map_points: np.ndarray):
+    batch > 1 processes that many scans per dispatch (each with its own
+    pose) — the voxel machinery is batch-native, so this amortizes
+    dispatch overhead and fills the MXU at the small deep levels. The
+    reference node is strictly one scan at a time (sps_node.py:88);
+    batched mode is the TPU-idiomatic throughput configuration."""
+
+    def __init__(self, cfg: Config, variables, map_points: np.ndarray, batch: int = 1):
         self.cfg = cfg
+        self.batch = batch
         # Streaming uses scan-only voxel capacity (no submap cloud).
-        self.sps_cfg = cfg.sps_config(batch_size=1)
+        self.sps_cfg = cfg.sps_config(batch_size=batch)
         self.model = SPSModel(self.sps_cfg)
         self.variables = variables
         if cfg.tpu.engine == "atlas":
@@ -181,21 +188,28 @@ class StreamingFilter:
         bcap = scfg.caps.bricks[0]
 
         @jax.jit
-        def fn(variables, map_grid, scan_xyz, valid, labels, pose):
-            xyz = transform_points(scan_xyz, pose)
-            coords = vox.quantize(xyz, vsize)
-            n = scan_xyz.shape[0]
+        def fn(variables, map_grid, scan_xyz, valid, labels, poses):
+            # scan_xyz (NB, n, 3); poses (NB, 4, 4); valid/labels (NB, n).
+            nb, n = scan_xyz.shape[:2]
+            xyz = (
+                jnp.einsum("bij,bnj->bni", poses[:, :3, :3], scan_xyz)
+                + poses[:, None, :3, 3]
+            )
+            vflat = valid.reshape(nb * n)
+            coords = vox.quantize(xyz.reshape(nb * n, 3), vsize)
+            batch_idx = jnp.repeat(jnp.arange(nb, dtype=jnp.int32), n)
             grid, p2s = atl.voxelize_bricks(
                 coords,
-                jnp.zeros((n,), jnp.int32),
-                jnp.ones((n,), jnp.int32),  # scan time slot = 1
-                valid,
+                batch_idx,
+                jnp.ones((nb * n,), jnp.int32),  # scan time slot = 1
+                vflat,
                 num_time=2,
                 brick_capacity=bcap,
                 brick_side=scfg.brick_side,
                 extent=scfg.atlas_extent,
             )
-            # Overlap "prune": one dense map-atlas gather per scan brick.
+            # Overlap "prune": one dense map-atlas gather per scan brick
+            # (the map atlas has a single batch slot -> query batch 0).
             bvalid = jnp.arange(bcap) < grid.num_bricks
             batch0 = jnp.where(bvalid, 0, -1)
             mrow = atl.atlas_rows(map_grid, batch0, grid.coords[:, 1:])
@@ -207,20 +221,20 @@ class StreamingFilter:
                 variables,
                 grid=grid2,
                 p2v=p2s,
-                t_idx=jnp.ones((n,), jnp.int32),
-                valid=valid,
+                t_idx=jnp.ones((nb * n,), jnp.int32),
+                valid=vflat,
             )
-            keep = (scores <= eps) & valid  # sps_node.py:148
+            keep = (scores <= eps) & vflat  # sps_node.py:148
             stats = {
-                "loss": met.masked_mse(scores, labels, valid),
-                "r2": met.masked_r2(scores, labels, valid),
-                **met.classification_metrics(scores, labels, valid, eps),
+                "loss": met.masked_mse(scores, labels.reshape(-1), vflat),
+                "r2": met.masked_r2(scores, labels.reshape(-1), vflat),
+                **met.classification_metrics(scores, labels.reshape(-1), vflat, eps),
                 "n_scan_voxels": jnp.sum(grid.occ[..., 1]).astype(jnp.int32),
                 "n_submap_voxels": jnp.sum(overlap).astype(jnp.int32),
                 "n_kept": jnp.sum(keep.astype(jnp.int32)),
                 "overflow": jnp.any(aux["overflow"]),
             }
-            return scores, keep, stats
+            return scores.reshape(nb, n), keep.reshape(nb, n), stats
 
         return fn
 
@@ -324,13 +338,27 @@ class StreamingFilter:
         return fn
 
     def __call__(self, scan_xyz, valid, labels, pose):
-        """Run one scan (device arrays or numpy); returns (scores, keep,
-        stats) device arrays. Callers time with block_until_ready."""
-        return self._fn(
+        """Run one scan (n, 3) or a batch (NB, n, 3) of scans (atlas
+        engine only for batched); returns (scores, keep, stats) device
+        arrays of matching leading shape. Callers time with
+        block_until_ready."""
+        scan_xyz = jnp.asarray(scan_xyz)
+        squeeze = False
+        if self.cfg.tpu.engine == "atlas":
+            if scan_xyz.ndim == 2:
+                squeeze = True
+                scan_xyz = scan_xyz[None]
+                valid = jnp.asarray(valid)[None]
+                labels = jnp.asarray(labels)[None]
+                pose = jnp.asarray(pose)[None]
+        scores, keep, stats = self._fn(
             self.variables,
             self.map_grid if self.cfg.tpu.engine in ("atlas", "brick") else self.map_table,
-            jnp.asarray(scan_xyz),
+            scan_xyz,
             jnp.asarray(valid),
             jnp.asarray(labels),
             jnp.asarray(pose),
         )
+        if squeeze:
+            scores, keep = scores[0], keep[0]
+        return scores, keep, stats

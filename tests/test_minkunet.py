@@ -224,6 +224,33 @@ def test_atlas_engine_matches_gather_engine():
         )
 
 
+def test_hybrid_row_levels_match_gather_engine():
+    """Hybrid pyramid (bricks at fine levels, compact voxel rows at deep
+    levels) must score identically to the gather oracle."""
+    import dataclasses
+
+    rng = np.random.default_rng(17)
+    pb = _batch(rng, 500)
+    for row_from in (1, 2, 3):
+        cfg_h = dataclasses.replace(
+            CFG,
+            engine="atlas",
+            brick_side=4,
+            atlas_extent=(2, 32, 32, 32),
+            row_from=row_from,
+        )
+        model_g = SPSModel(CFG)
+        model_h = SPSModel(cfg_h)
+        variables = model_g.init(jax.random.PRNGKey(0), pb)
+        sg, _ = jax.jit(lambda v, b: model_g.apply(v, b))(variables, pb)
+        sh, auxh = jax.jit(lambda v, b, m=model_h: m.apply(v, b))(variables, pb)
+        assert not bool(np.asarray(auxh["overflow"]).any()), f"row_from={row_from}"
+        np.testing.assert_allclose(
+            np.asarray(sh), np.asarray(sg), rtol=2e-3, atol=2e-4,
+            err_msg=f"row_from={row_from}",
+        )
+
+
 def test_train_mode_updates_batch_stats():
     rng = np.random.default_rng(1)
     pb = _batch(rng, 200)
