@@ -1,0 +1,97 @@
+#!/usr/bin/env python3
+"""Localization experiment driver: {run x sequence x filter} -> ATE table.
+
+Equivalent of the reference's exp_pipeline/loc_exp_general.bash:169-192,
+which loops experiment runs over sequences and filter variants (sps |
+mask | raw ...), replays each rosbag through the filter + hdl_localization
+stack, and scores APE with evo (loc_exp_general.bash:122-166). Here the
+whole loop is native: scans replay from the dataset, filtering and ICP
+registration run on-device (sps_tpu.stream.localize), and ATE-RMSE is
+computed directly (replacing evo_ape).
+
+Writes one JSON line per (run, seq, filter) to <out>/results.jsonl and a
+markdown summary table to <out>/summary.md.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import click
+import numpy as np
+
+
+@click.command()
+@click.option("--config", "-c", type=str, default="./config/config.yaml")
+@click.option("--weights", "-w", type=str, default=None)
+@click.option("--sequences", "-seq", type=str, default=None,
+              help="csv; default = config TEST split")
+@click.option("--filters", type=str, default="sps,mask,raw")
+@click.option("--runs", type=int, default=1)
+@click.option("--data", type=str, default=None)
+@click.option("--init-noise", type=float, default=0.0)
+@click.option("--out", type=str, default="./exp_results")
+def main(config, weights, sequences, filters, runs, data, init_noise, out):
+    import jax
+
+    from sps_tpu import config as cfg_mod
+    from sps_tpu import train as tr
+    from sps_tpu.stream import localize as loc
+    from sps_tpu.utils import checkpoint as ckpt
+
+    cfg = cfg_mod.load(config, data_root=data)
+    seqs = (
+        [s.strip() for s in sequences.split(",")]
+        if sequences
+        else list(cfg.data.test)
+    )
+    flts = [f.strip() for f in filters.split(",")]
+    if weights:
+        restored = ckpt.restore(weights)
+        variables = {
+            "params": restored["params"],
+            "batch_stats": restored["batch_stats"],
+        }
+    else:
+        state = tr.create_state(cfg, jax.random.PRNGKey(0), 1)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    os.makedirs(out, exist_ok=True)
+    results = []
+    path = os.path.join(out, "results.jsonl")
+    with open(path, "a") as f:
+        for run in range(runs):
+            for seq in seqs:
+                for flt in flts:
+                    t0 = time.time()
+                    r = loc.run_localization(
+                        cfg, variables, seq, flt,
+                        init_noise=init_noise, seed=run,
+                    )
+                    r.update(run=run, seq=seq, wall_s=round(time.time() - t0, 1))
+                    results.append(r)
+                    f.write(json.dumps(r) + "\n")
+                    f.flush()
+                    print(f"[exp] run {run} seq {seq} filter {flt}: "
+                          f"ATE {r['ate_rmse']:.3f} m", flush=True)
+
+    # Summary: mean ATE per (seq, filter) over runs (evo_ape table analog).
+    lines = ["| sequence | filter | ATE-RMSE (m) | kept |", "|---|---|---|---|"]
+    for seq in seqs:
+        for flt in flts:
+            rs = [r for r in results if r["seq"] == seq and r["filter"] == flt]
+            if not rs:
+                continue
+            ate = float(np.mean([r["ate_rmse"] for r in rs]))
+            kept = float(np.mean([r["kept_frac_mean"] for r in rs]))
+            lines.append(f"| {seq} | {flt} | {ate:.3f} | {kept:.2f} |")
+    with open(os.path.join(out, "summary.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("\n".join(lines))
+
+
+if __name__ == "__main__":
+    main()

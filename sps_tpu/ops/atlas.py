@@ -52,7 +52,7 @@ class AtlasGrid:
     """
 
     coords: jnp.ndarray  # (Bcap, 4) int32 [batch, bx, by, bz]
-    occ: jnp.ndarray  # (Bcap, bs, bs, bs, T) float32
+    occ: jnp.ndarray  # (Bcap, bs, bs, bs, T) bfloat16 (exact 0/1 values)
     num_bricks: jnp.ndarray  # () int32
     atlas: jnp.ndarray  # (NB*NX*NY*NZ,) int32
     origin: jnp.ndarray  # (3,) int32
@@ -201,11 +201,14 @@ def voxelize_bricks(
 
     pb = jnp.where(p2b >= 0, p2b, brick_capacity)
     tcl = jnp.clip(t_idx, 0, num_time - 1)
+    # Occupancy is kept in bf16 (values are exactly 0/1): every mask/BN
+    # multiply in the network reads it, so f32 doubles that traffic.
     occ = (
         jnp.zeros((brick_capacity + 1, bvol, num_time), jnp.float32)
         .at[pb, lflat, tcl]
         .max(ok.astype(jnp.float32))
     )[:brick_capacity].reshape(brick_capacity, bs, bs, bs, num_time)
+    occ = occ.astype(jnp.bfloat16)
 
     grid = AtlasGrid(
         coords=coords_c,
@@ -260,7 +263,9 @@ def downsample(grid: AtlasGrid, coarse_capacity: int, coarse_extent: tuple):
     f2c = jnp.where(ok, aext[jnp.minimum(flat, ncell)], EMPTY)
     cgrid = AtlasGrid(
         coords=coords_c,
-        occ=jnp.zeros((coarse_capacity, bs, bs, bs, grid.occ.shape[-1])),
+        occ=jnp.zeros(
+            (coarse_capacity, bs, bs, bs, grid.occ.shape[-1]), jnp.bfloat16
+        ),
         num_bricks=num,
         atlas=atlas,
         origin=corigin,

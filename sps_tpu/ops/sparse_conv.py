@@ -203,7 +203,7 @@ def masked_batch_stats(
     c = tc // t
     x = feats.reshape(v, t, c)
     w = occ.astype(feats.dtype)[:, :, None]
-    cnt = jnp.maximum(jnp.sum(w), 1.0)
+    cnt = jnp.maximum(jnp.sum(w, dtype=jnp.float32).astype(feats.dtype), 1.0)
     mean = jnp.sum(x * w, axis=(0, 1)) / cnt
     var = jnp.sum(w * (x - mean) ** 2, axis=(0, 1)) / cnt
     return mean, var

@@ -77,12 +77,20 @@ def dryrun(n_devices: int) -> None:
     cfg = Config(
         data=DataConfig(root="/tmp"),
         train=TrainConfig(batch_size=1, lr=1e-3),
+        # The flagship single-chip configuration (atlas engine, brick side
+        # 8, halo convs, row levels from L3) at tiny capacities, so the
+        # dry-run exercises the real sharded training path end to end.
         tpu=TPUConfig(
             scan_points=256,
             submap_points=256,
             cell_capacity=1024,
-            voxels=(1024, 512, 256, 128, 64),
-            bricks=(512, 256, 128, 128, 128),
+            voxels=(1024, 512, 256, 256, 256),
+            bricks=(512, 256, 256, 256, 256),
+            engine="atlas",
+            brick_side=8,
+            atlas_extent=(24, 24, 24),
+            conv_mode="halo",
+            row_from=3,
         ),
     )
     mesh = make_mesh(n_devices)

@@ -229,8 +229,8 @@ class StreamingFilter:
                 "loss": met.masked_mse(scores, labels.reshape(-1), vflat),
                 "r2": met.masked_r2(scores, labels.reshape(-1), vflat),
                 **met.classification_metrics(scores, labels.reshape(-1), vflat, eps),
-                "n_scan_voxels": jnp.sum(grid.occ[..., 1]).astype(jnp.int32),
-                "n_submap_voxels": jnp.sum(overlap).astype(jnp.int32),
+                "n_scan_voxels": jnp.sum(grid.occ[..., 1], dtype=jnp.float32).astype(jnp.int32),
+                "n_submap_voxels": jnp.sum(overlap, dtype=jnp.float32).astype(jnp.int32),
                 "n_kept": jnp.sum(keep.astype(jnp.int32)),
                 "overflow": jnp.any(aux["overflow"]),
             }
@@ -281,8 +281,8 @@ class StreamingFilter:
                 "loss": met.masked_mse(scores, labels, valid),
                 "r2": met.masked_r2(scores, labels, valid),
                 **met.classification_metrics(scores, labels, valid, eps),
-                "n_scan_voxels": jnp.sum(grid.occ[..., 1]).astype(jnp.int32),
-                "n_submap_voxels": jnp.sum(overlap).astype(jnp.int32),
+                "n_scan_voxels": jnp.sum(grid.occ[..., 1], dtype=jnp.float32).astype(jnp.int32),
+                "n_submap_voxels": jnp.sum(overlap, dtype=jnp.float32).astype(jnp.int32),
                 "n_kept": jnp.sum(keep.astype(jnp.int32)),
                 "overflow": jnp.any(aux["overflow"]),
             }

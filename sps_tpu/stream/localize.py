@@ -26,7 +26,7 @@ from sps_tpu.data import blt
 from sps_tpu.stream.engine import StreamingFilter
 from sps_tpu.utils.geometry import transform_points
 
-FILTERS = ("sps", "mask", "raw")
+FILTERS = ("sps", "mask", "raw", "mos4d", "mapmos", "lts")
 
 
 def ate_rmse(est: np.ndarray, gt: np.ndarray) -> float:
@@ -55,6 +55,50 @@ def cv_predict(poses: list[np.ndarray], k: int = 3) -> np.ndarray:
     return poses[-1] @ delta
 
 
+def _make_baseline_filter(cfg: Config, mode: str, map_points: np.ndarray):
+    """Instantiate a baseline filter node (random-init weights — their
+    checkpoints are separate artifacts in the reference; converted weights
+    can be swapped into .variables)."""
+    from sps_tpu.models.mapmos import MapMOSConfig, MapMOSNet
+    from sps_tpu.models.mos4d import MOS4DConfig, MOS4DNet
+    from sps_tpu.stream import baselines as bl
+    from sps_tpu.structs import pad_point_batch
+
+    ns = cfg.tpu.scan_points
+    caps = cfg.sps_config(batch_size=1).caps
+    if mode == "mos4d":
+        mcfg = MOS4DConfig(voxel_size=cfg.voxel_size, n_scans=4, caps=caps)
+        dummy = pad_point_batch(
+            np.zeros((8, 3), np.float32), np.zeros(8), np.zeros(8),
+            np.zeros(8), mcfg.n_scans * ns,
+        )
+        variables = MOS4DNet(mcfg).init(jax.random.PRNGKey(0), dummy)
+        return bl.MOS4DFilter(mcfg, variables, ns)
+    if mode == "mapmos":
+        mcfg = MapMOSConfig(voxel_size=cfg.voxel_size, caps=caps)
+        nm = cfg.tpu.submap_points
+        dummy = pad_point_batch(
+            np.zeros((8, 3), np.float32), np.zeros(8), np.zeros(8),
+            np.zeros(8), ns + nm,
+        )
+        variables = MapMOSNet(mcfg).init(
+            jax.random.PRNGKey(0), dummy, jnp.zeros((ns + nm,), jnp.float32)
+        )
+        return bl.MapMOSFilter(mcfg, variables, map_points, ns, nm)
+    if mode == "lts":
+        from sps_tpu.data.range_image import LIDAR_PARAMS
+        from sps_tpu.models.lts import SPCTReg
+
+        p = LIDAR_PARAMS["vlp-16"]
+        model = SPCTReg()
+        variables = model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((2, p["num_beams"] * p["window_size"], 3), jnp.float32),
+        )
+        return bl.LTSFilter(variables, epsilon=cfg.threshold)
+    raise ValueError(mode)
+
+
 def run_localization(
     cfg: Config,
     variables,
@@ -76,7 +120,16 @@ def run_localization(
     scans, gt_poses = blt.load_sequences_raw(cfg.data.root, [sequence])
     map_points = blt.load_map(cfg.data.root, cfg.data.map_file)
     vmap = reg.build_voxel_map(map_points, voxel_size=4 * cfg.voxel_size)
-    filt = StreamingFilter(cfg, variables, map_points) if filter_mode != "raw" else None
+    filt = None
+    if filter_mode in ("sps", "mask"):
+        filt = StreamingFilter(cfg, variables, map_points)
+    elif filter_mode in ("mos4d", "mapmos", "lts"):
+        # Baseline filter nodes (reference loc_exp_general.bash:71-111 runs
+        # these in the same loop). Their checkpoints are separate artifacts
+        # in the reference (10_scans.ckpt / mapmos.ckpt / best_model.pth);
+        # without converted weights we initialize randomly — the plumbing
+        # and timing are exercised, the filtering quality is not.
+        filt = _make_baseline_filter(cfg, filter_mode, map_points)
     eps = cfg.threshold if filter_mode == "sps" else None
     ns = cfg.tpu.scan_points
     rng = np.random.default_rng(seed)
@@ -127,6 +180,19 @@ def run_localization(
             keep = np.asarray(
                 (vhash.lookup(vmap.table, q, jnp.asarray(sv)) >= 0)
             ) & sv
+        elif filter_mode in ("mos4d", "mapmos"):
+            km = filt(scan[:n, :3].astype(np.float32), guess.astype(np.float32))
+            keep = sv.copy()
+            keep[:n] &= np.asarray(km)[:n]
+        elif filter_mode == "lts":
+            # LTS resamples via the range image; register its kept points.
+            kept_pts = filt(scan[:n, :4].astype(np.float32))
+            m = min(len(kept_pts), ns)
+            sx = np.zeros((ns, 3), np.float32)
+            sx[:m] = kept_pts[:m, :3]
+            sv = np.zeros((ns,), bool)
+            sv[:m] = True
+            keep = sv
 
         kept = keep & sv
         kept_frac.append(kept.sum() / max(sv.sum(), 1))
