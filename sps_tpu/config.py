@@ -55,10 +55,15 @@ class TPUConfig:
     # Per-sample dense-atlas window in bricks (engine="atlas"): must cover
     # one scan+submap AABB at L0 brick granularity.
     atlas_extent: tuple = (256, 256, 96)
-    conv_mode: str = "region"  # brick stride-1 conv: "region" | "halo"
+    conv_mode: str = "region"  # brick stride-1 conv: "region" | "halo" | "zband"
+    zband_levels: int = 1  # conv_mode="zband": fold levels [0, N) (see MinkUNetConfig)
     # First pyramid level run on the compact voxel-row engine (atlas
     # engine); 0/absent disables.
     row_from: int = 0
+    # First pyramid level re-bricked at side 2 (atlas engine; alternative
+    # to row_from — if both are set, brick2 wins); 0/absent disables.
+    brick2_from: int = 0
+    bricks2: tuple = (8192, 4096, 2048, 1024, 512)  # whole batch
     max_per_cell: int = 8
     bf16: bool = False
 
@@ -96,6 +101,7 @@ class Config:
             points=bs * (self.tpu.scan_points + self.tpu.submap_points),
             voxels=tuple(rup(int(v * factor)) for v in self.tpu.voxels),
             bricks=tuple(rup(int(v * factor)) for v in self.tpu.bricks),
+            bricks2=tuple(rup(int(v * factor)) for v in self.tpu.bricks2),
         )
         return SPSConfig(
             voxel_size=self.voxel_size,
@@ -107,11 +113,13 @@ class Config:
                 num_time=2,
                 dtype=jnp.bfloat16 if self.tpu.bf16 else jnp.float32,
                 conv_mode=self.tpu.conv_mode,
+                zband_levels=self.tpu.zband_levels,
             ),
             engine=self.tpu.engine,
             brick_side=self.tpu.brick_side,
             atlas_extent=(bs,) + tuple(self.tpu.atlas_extent),
             row_from=self.tpu.row_from if self.tpu.row_from > 0 else None,
+            brick2_from=self.tpu.brick2_from if self.tpu.brick2_from > 0 else None,
         )
 
 
@@ -154,7 +162,10 @@ def load(path: str, data_root: str | None = None) -> Config:
             brick_side=int(tpu.get("BRICK_SIDE", TPUConfig.brick_side)),
             atlas_extent=tuple(tpu.get("ATLAS_EXTENT", TPUConfig.atlas_extent)),
             conv_mode=str(tpu.get("CONV_MODE", TPUConfig.conv_mode)),
+            zband_levels=int(tpu.get("ZBAND_LEVELS", TPUConfig.zband_levels)),
             row_from=int(tpu.get("ROW_FROM", TPUConfig.row_from)),
+            brick2_from=int(tpu.get("BRICK2_FROM", TPUConfig.brick2_from)),
+            bricks2=tuple(tpu.get("BRICKS2", TPUConfig.bricks2)),
             max_per_cell=int(tpu.get("MAX_PER_CELL", TPUConfig.max_per_cell)),
             bf16=bool(tpu.get("BF16", False)),
         ),

@@ -75,6 +75,7 @@ def generate(
     n_rays: int = 360 * 3,
     ground_points: int = 22000,
     n_stable: int = 28,
+    step_m: float = 1.0,
 ):
     """Write a full synthetic dataset. Returns the root path."""
     rng = np.random.default_rng(seed)
@@ -97,9 +98,16 @@ def generate(
         # SLAM frame to the base map; synthetic data is generated in the
         # map frame already but we exercise a nontrivial pose per scan).
         np.savetxt(os.path.join(sdir, "map_transform"), np.eye(4), delimiter=",")
+        # Fixed ~step_m arc length between consecutive poses (sensor-rate
+        # spacing), NOT a full loop split across scans_per_seq: with few
+        # scans the latter yields 10+ m jumps that no constant-velocity
+        # prior + ICP can recover from, which is unrepresentative of any
+        # real LiDAR stream.
+        radius = 0.55 * extent
+        ang_step = step_m / radius
         for i in range(scans_per_seq):
-            ang = 2 * np.pi * i / scans_per_seq
-            pose_xy = 0.55 * extent * np.array([np.cos(ang), np.sin(ang)])
+            ang = ang_step * i
+            pose_xy = radius * np.array([np.cos(ang), np.sin(ang)])
             yaw = ang + np.pi / 2
             c, s = np.cos(yaw), np.sin(yaw)
             pose = np.eye(4)

@@ -51,9 +51,16 @@ class MinkUNetConfig:
     block_kernel: int = 3
     # Compute dtype for gathers/matmuls; params stay float32.
     dtype: jnp.dtype = jnp.float32
-    # Brick-engine stride-1 conv formulation ("region" | "halo"); see
-    # ops.brick.brick_conv.
+    # Brick-engine stride-1 conv formulation ("region" | "halo" | "zband");
+    # see ops.brick.brick_conv / brick_conv_zband. "zband" keeps brick-level
+    # features in the z-folded (B, bs, bs, bs*TC) layout across the whole
+    # level so minor dims stay lane-tile aligned.
     conv_mode: str = "region"
+    # "zband" only: fold levels [0, zband_levels). The fold trades k/(bs+2p)
+    # FLOP inflation (3.33x at k=3, bs=8) for full MXU lanes — a clear win
+    # only where channels are tiny (L0: 16-32 of 128 lanes). Deeper levels
+    # run the plain dense-brick conv ("halo" assembly).
+    zband_levels: int = 1
 
 
 def _kaiming(key, shape, dtype=jnp.float32):
@@ -89,8 +96,11 @@ def cat_time(a, b, num_time):
     """Skip concat per time slot (ME.cat, minkunet.py:192-216): both
     operands live on the same coordinate set. Built from static last-axis
     slices (no reshape: reshapes of conv outputs force TPU layout
-    copies)."""
+    copies). z-folded operands (4-D; zband mode) interleave per (z, t)
+    block — same code, the block count is bs*T."""
     t = num_time
+    if a.ndim == 4:
+        t = t * a.shape[1]
     ca = a.shape[-1] // t
     cb = b.shape[-1] // t
     parts = []
@@ -128,7 +138,7 @@ class MaskedBatchNorm(nn.Module):
         if train:
             f2 = feats.reshape(-1, shp[-1]).astype(jnp.float32)
             mean, var = sc.masked_batch_stats(f2, o2)
-            cnt = jnp.maximum(jnp.sum(o2), 2.0)
+            cnt = jnp.maximum(jnp.sum(o2, dtype=jnp.float32), 2.0)
             unbiased = var * cnt / (cnt - 1.0)
             if not self.is_initializing():
                 m = self.momentum
@@ -178,14 +188,28 @@ class SpConv(nn.Module):
                 else None
             )
             wp = sc.pack_time_toeplitz(w, self.num_time)[0]
-            out = feats.reshape(-1, feats.shape[-1]) @ wp
+            reps = self.num_time
+            if feats.ndim == 4:
+                # z-folded: block-diagonal weight (kron with I_bs) keeps the
+                # matmul on the folded layout — no relayout, full lanes.
+                bs = feats.shape[1]
+                wp = jnp.kron(jnp.eye(bs, dtype=wp.dtype), wp)
+                reps = self.num_time * bs
+            # Leading dims stay batched (no reshape round-trip: the
+            # reshape-back of the matmul output cost ~10 ms/scan in layout
+            # copies at BLT scale).
+            out = feats @ wp
             if bias is not None:
-                out = out + jnp.tile(bias, self.num_time)
-            out = out.reshape(feats.shape[:-1] + (out.shape[-1],))
+                out = out + jnp.tile(bias, reps)
             return mask_any(out, occ)
         if _is_brick(lvl):
             wd = bk.pack_dense_kernel(w, self.num_time)
-            return bk.brick_conv(feats, lvl.nbr27, wd, occ, self.conv_mode)
+            if feats.ndim == 4:
+                return bk.brick_conv_zband(feats, lvl.nbr27, wd, occ)
+            # Unfolded levels under conv_mode="zband" use the halo assembly
+            # (the measured-best dense-brick formulation at wide channels).
+            mode = "halo" if self.conv_mode == "zband" else self.conv_mode
+            return bk.brick_conv(feats, lvl.nbr27, wd, occ, mode)
         wp = sc.pack_time_toeplitz(w, self.num_time)
         if _is_row(lvl):
             assert self.ksize == 3, "row levels carry 27-neighbor tables only"
@@ -199,6 +223,7 @@ class SpConvDown(nn.Module):
     cin: int
     cout: int
     num_time: int
+    fold_out: bool = False  # return z-folded (target level is zband-folded)
 
     @nn.compact
     def __call__(self, feats, coarse_lvl):
@@ -206,11 +231,26 @@ class SpConvDown(nn.Module):
         wp = sc.pack_time_toeplitz(w.astype(feats.dtype), self.num_time)
         occ = occ_of(coarse_lvl)
         if _is_brick(coarse_lvl):
-            return bk.brick_conv_down(feats, coarse_lvl.child, wp, occ)
+            fin = feats
+            if feats.ndim == 4:  # z-folded source level: unfold for gather
+                fin = bk.unfold_z(feats, feats.shape[-1] // feats.shape[1])
+            if coarse_lvl.cross_child is not None:  # side boundary (8 -> 2)
+                out = bk.brick_conv_down_cross(
+                    fin, coarse_lvl.cross_child, coarse_lvl.cross_par, wp, occ
+                )
+            else:
+                out = bk.brick_conv_down(fin, coarse_lvl.child, wp, occ)
+            return bk.fold_z(out) if self.fold_out else out
         if _is_row(coarse_lvl):
-            # Hybrid boundary: the finer features may still be brick-form;
-            # child then indexes flat brick slots.
-            f2 = feats.reshape(-1, feats.shape[-1]) if feats.ndim == 5 else feats
+            # Hybrid boundary: the finer features may still be brick-form
+            # (5-D, or 4-D z-folded); child then indexes flat brick slots.
+            # Both reshapes preserve memory order (z-major, t, c minor).
+            if feats.ndim == 5:
+                f2 = feats.reshape(-1, feats.shape[-1])
+            elif feats.ndim == 4:
+                f2 = feats.reshape(-1, feats.shape[-1] // feats.shape[1])
+            else:
+                f2 = feats
             return sc.sparse_conv_down(f2, coarse_lvl.child, wp, occ)
         return sc.sparse_conv_down(feats, coarse_lvl.child, wp, occ)
 
@@ -221,6 +261,7 @@ class SpConvUp(nn.Module):
     cin: int
     cout: int
     num_time: int
+    fold_out: bool = False  # return z-folded (target level is zband-folded)
 
     @nn.compact
     def __call__(self, feats, fine_lvl):
@@ -228,11 +269,20 @@ class SpConvUp(nn.Module):
         wp = sc.pack_time_toeplitz(w.astype(feats.dtype), self.num_time)
         occ = occ_of(fine_lvl)
         if _is_brick(fine_lvl):
-            if feats.ndim == 2:  # hybrid boundary: coarse side is rows
-                return bk.brick_conv_up_from_rows(
-                    feats, fine_lvl.parent_rows, wp, occ
+            if fine_lvl.parent_rows is not None:
+                # Representation boundary: coarse side is rows (2-D feats)
+                # or side-2 bricks (5-D; parent_rows then hold flat slot
+                # ids row*8+local, and the flatten preserves that order).
+                f2 = feats if feats.ndim == 2 else feats.reshape(-1, feats.shape[-1])
+                out = bk.brick_conv_up_from_rows(
+                    f2, fine_lvl.parent_rows, wp, occ
                 )
-            return bk.brick_conv_up(feats, fine_lvl.parent, fine_lvl.oct, wp, occ)
+            else:
+                fin = feats
+                if feats.ndim == 4:
+                    fin = bk.unfold_z(feats, feats.shape[-1] // feats.shape[1])
+                out = bk.brick_conv_up(fin, fine_lvl.parent, fine_lvl.oct, wp, occ)
+            return bk.fold_z(out) if self.fold_out else out
         return sc.sparse_conv_up(feats, fine_lvl.parent, fine_lvl.parity, wp, occ)
 
 
@@ -308,7 +358,21 @@ class MinkUNet(nn.Module):
         p = cfg.planes
         d0 = cfg.init_dim
         l0, l1, l2, l3, l4 = levels
-        occ = [occ_of(lv) for lv in levels]
+        zband = cfg.conv_mode == "zband"
+
+        def is_folded(i, lv):
+            return zband and i < cfg.zband_levels and _is_brick(lv)
+
+        def occ_lvl(i, lv):
+            o = occ_of(lv)
+            if is_folded(i, lv):
+                return o.reshape(o.shape[0], o.shape[1], o.shape[2], -1)
+            return o
+
+        fold = [is_folded(i, lv) for i, lv in enumerate(levels)]
+        occ = [occ_lvl(i, lv) for i, lv in enumerate(levels)]
+        if fold[0] and feats.ndim == 5:
+            feats = bk.fold_z(feats)
 
         def relu(x, o):
             return mask_any(nn.relu(x), o)
@@ -329,52 +393,52 @@ class MinkUNet(nn.Module):
         out_p1 = relu(x, occ[0])
 
         # Encoder.
-        def down(x, name, cin, cout, coarse, bnname, occ_c):
-            y = SpConvDown(cin, cout, t, name=name)(x, coarse)
+        def down(x, name, cin, cout, coarse, bnname, occ_c, fold_out):
+            y = SpConvDown(cin, cout, t, fold_out=fold_out, name=name)(x, coarse)
             y = MaskedBatchNorm(cout, name=bnname)(y, occ_c, train)
             return relu(y, occ_c)
 
-        x = down(out_p1, "conv1p1s2", d0, d0, l1, "bn1", occ[1])
+        x = down(out_p1, "conv1p1s2", d0, d0, l1, "bn1", occ[1], fold[1])
         for b in _blocks("block1", cfg.layers[0], d0, p[0], t, cfg.block_kernel, cfg.conv_mode):
             x = b(x, l1, occ[1], train)
         out_b1p2 = x
 
-        x = down(x, "conv2p2s2", p[0], p[0], l2, "bn2", occ[2])
+        x = down(x, "conv2p2s2", p[0], p[0], l2, "bn2", occ[2], fold[2])
         for b in _blocks("block2", cfg.layers[1], p[0], p[1], t, cfg.block_kernel, cfg.conv_mode):
             x = b(x, l2, occ[2], train)
         out_b2p4 = x
 
-        x = down(x, "conv3p4s2", p[1], p[1], l3, "bn3", occ[3])
+        x = down(x, "conv3p4s2", p[1], p[1], l3, "bn3", occ[3], fold[3])
         for b in _blocks("block3", cfg.layers[2], p[1], p[2], t, cfg.block_kernel, cfg.conv_mode):
             x = b(x, l3, occ[3], train)
         out_b3p8 = x
 
-        x = down(x, "conv4p8s2", p[2], p[2], l4, "bn4", occ[4])
+        x = down(x, "conv4p8s2", p[2], p[2], l4, "bn4", occ[4], fold[4])
         for b in _blocks("block4", cfg.layers[3], p[2], p[3], t, cfg.block_kernel, cfg.conv_mode):
             x = b(x, l4, occ[4], train)
 
         # Decoder (minkunet.py:107-158,188-217).
-        def up(x, name, cin, cout, fine, bnname, occ_f):
-            y = SpConvUp(cin, cout, t, name=name)(x, fine)
+        def up(x, name, cin, cout, fine, bnname, occ_f, fold_out):
+            y = SpConvUp(cin, cout, t, fold_out=fold_out, name=name)(x, fine)
             y = MaskedBatchNorm(cout, name=bnname)(y, occ_f, train)
             return relu(y, occ_f)
 
-        x = up(x, "convtr4p16s2", p[3], p[4], l3, "bntr4", occ[3])
+        x = up(x, "convtr4p16s2", p[3], p[4], l3, "bntr4", occ[3], fold[3])
         x = cat_time(x, out_b3p8, t)
         for b in _blocks("block5", cfg.layers[4], p[4] + p[2], p[4], t, cfg.block_kernel, cfg.conv_mode):
             x = b(x, l3, occ[3], train)
 
-        x = up(x, "convtr5p8s2", p[4], p[5], l2, "bntr5", occ[2])
+        x = up(x, "convtr5p8s2", p[4], p[5], l2, "bntr5", occ[2], fold[2])
         x = cat_time(x, out_b2p4, t)
         for b in _blocks("block6", cfg.layers[5], p[5] + p[1], p[5], t, cfg.block_kernel, cfg.conv_mode):
             x = b(x, l2, occ[2], train)
 
-        x = up(x, "convtr6p4s2", p[5], p[6], l1, "bntr6", occ[1])
+        x = up(x, "convtr6p4s2", p[5], p[6], l1, "bntr6", occ[1], fold[1])
         x = cat_time(x, out_b1p2, t)
         for b in _blocks("block7", cfg.layers[6], p[6] + p[0], p[6], t, cfg.block_kernel, cfg.conv_mode):
             x = b(x, l1, occ[1], train)
 
-        x = up(x, "convtr7p2s2", p[6], p[7], l0, "bntr7", occ[0])
+        x = up(x, "convtr7p2s2", p[6], p[7], l0, "bntr7", occ[0], fold[0])
         x = cat_time(x, out_p1, t)
         for b in _blocks("block8", cfg.layers[7], p[7] + d0, p[7], t, cfg.block_kernel, cfg.conv_mode):
             x = b(x, l0, occ[0], train)

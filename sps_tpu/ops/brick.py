@@ -65,9 +65,17 @@ class BrickLevel(NamedTuple):
     parent: jnp.ndarray | None  # (B,) coarse brick row
     oct: jnp.ndarray | None  # (B, 3) octant (bcoords & 1) per axis
     child: jnp.ndarray | None  # (8, B) fine brick rows (OCT_OFFSETS order)
-    # Hybrid pyramids only (atlas.hybridize_levels): coarse ROW ids of this
-    # level's (bs/2)^3 parent-voxel block, (B, bs/2, bs/2, bs/2).
+    # Hybrid pyramids only (atlas.hybridize_levels / rebrick_levels):
+    # coarse ROW-or-SLOT ids of this level's (bs/2)^3 parent-voxel block,
+    # (B, bs/2, bs/2, bs/2) — set on the fine level just below a
+    # representation boundary (rows, or bricks of a different side).
     parent_rows: jnp.ndarray | None = None
+    # Cross-side boundary only (atlas.rebrick_levels): this level's bricks
+    # (side cs) each cover a (2cs)^3 fine-voxel block inside exactly one
+    # fine brick: cross_child (B,) fine brick row, cross_par (B, 3)
+    # sub-block index. Consumed by brick.brick_conv_down_cross.
+    cross_child: jnp.ndarray | None = None
+    cross_par: jnp.ndarray | None = None
 
 
 def take_rows(feats: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
@@ -394,6 +402,124 @@ def halo(feats: jnp.ndarray, nbr27: jnp.ndarray, pad: int) -> jnp.ndarray:
     return jnp.concatenate(xs, axis=1)
 
 
+def fold_z(feats: jnp.ndarray) -> jnp.ndarray:
+    """(B, bs, bs, bs, TC) -> (B, bs, bs, bs*TC): fold the z axis into
+    channels (z-major, t, c minor — memory order is unchanged, only the
+    tile layout). With TC*bs a multiple of 128 the folded form fills TPU
+    lane tiles that the TC-minor form wastes (e.g. TC=16 uses 16 of 128
+    lanes), which is what makes the zband conv formulation fast."""
+    b, bs = feats.shape[0], feats.shape[1]
+    return feats.reshape(b, bs, bs, -1)
+
+
+def unfold_z(zfeats: jnp.ndarray, tc: int) -> jnp.ndarray:
+    """(B, bs, bs, bs*TC) -> (B, bs, bs, bs, TC)."""
+    b, bs = zfeats.shape[0], zfeats.shape[1]
+    return zfeats.reshape(b, bs, bs, bs, tc)
+
+
+def halo_z(zfeats: jnp.ndarray, nbr27: jnp.ndarray, pad: int, tc: int) -> jnp.ndarray:
+    """z-folded halo: (B, bs, bs, bs*TC) -> (B, bs+2p, bs+2p, (bs+2p)*TC).
+
+    Same 26-neighbor assembly and 3-gather grouping as `halo` (see its
+    docstring for the measured rationale), but z slab selection and the
+    final z concatenation happen on the folded channel axis, so the
+    pieces and the result keep lane-tile-aligned minor dims throughout."""
+    b, bs = zfeats.shape[0], zfeats.shape[1]
+    assert 1 <= pad <= bs
+
+    def span(d):
+        s, _ = _src_dst(d, pad, bs)
+        return s
+
+    classes: dict[int, list] = {1: [], 2: [], 3: []}
+    for k, (dx, dy, dz) in enumerate(OFFS27):
+        if (dx, dy, dz) == (0, 0, 0):
+            continue
+        classes[abs(dx) + abs(dy) + abs(dz)].append((k, dx, dy, dz))
+
+    pieces: dict[int, jnp.ndarray] = {}
+    for items in classes.values():
+        srcs = []
+        idxs = []
+        shapes = []
+        for k, dx, dy, dz in items:
+            sx, sy, sz = span(dx), span(dy), span(dz)
+            sl = zfeats[:, sx, sy, sz.start * tc : sz.stop * tc]
+            shapes.append(sl.shape[1:])
+            srcs.append(sl.reshape(b, -1))
+            idxs.append(nbr27[k])
+        stack = jnp.concatenate(srcs, axis=0)
+        idx = jnp.stack(idxs)
+        off = (jnp.arange(len(items), dtype=jnp.int32) * b)[:, None]
+        flat_idx = jnp.where(idx >= 0, idx + off, -1).reshape(-1)
+        g = take_rows(stack, flat_idx).reshape(len(items), b, -1)
+        for i, (k, dx, dy, dz) in enumerate(items):
+            pieces[k] = g[i].reshape((b,) + shapes[i])
+
+    k = 0
+    xs = []
+    for dx in (-1, 0, 1):
+        ys = []
+        for dy in (-1, 0, 1):
+            zs = []
+            for dz in (-1, 0, 1):
+                zs.append(zfeats if (dx, dy, dz) == (0, 0, 0) else pieces[k])
+                k += 1
+            ys.append(jnp.concatenate(zs, axis=3))
+        xs.append(jnp.concatenate(ys, axis=2))
+    return jnp.concatenate(xs, axis=1)
+
+
+def pack_zband_kernel(w_dense: jnp.ndarray, bs: int, pad: int) -> jnp.ndarray:
+    """(k, k, k, TCin, TCout) -> (k, k, (bs+2p)*TCin, bs*TCout) 2D kernel
+    whose channel axes carry the folded z dimension: output z-block zo
+    reads input (halo) z-blocks zo..zo+k-1 through the original kz taps,
+    i.e. a block-banded matrix per (kx, ky) tap. The band is k/(bs+2p)
+    dense (3.3x FLOPs at k=3, bs=8) but every matmul runs with >=128-lane
+    shapes, which nets out well ahead at small TC."""
+    k, _, _, tcin, tcout = w_dense.shape
+    h = bs + 2 * pad
+    wb = w_dense.reshape(k, k, k * tcin, tcout)
+    wz = jnp.zeros((k, k, h * tcin, bs * tcout), w_dense.dtype)
+    for zo in range(bs):
+        wz = wz.at[:, :, zo * tcin : (zo + k) * tcin, zo * tcout : (zo + 1) * tcout].set(wb)
+    return wz
+
+
+def brick_conv_zband(
+    zfeats: jnp.ndarray,
+    nbr27: jnp.ndarray,
+    w_dense: jnp.ndarray,
+    occz: jnp.ndarray,
+) -> jnp.ndarray:
+    """Stride-1 sparse conv in the z-folded layout: assemble the folded
+    halo and run ONE 2D conv whose channel axes carry z (pack_zband_kernel).
+
+    zfeats: (B, bs, bs, bs*TCin); occz: (B, bs, bs, bs*T) folded occupancy.
+    Returns (B, bs, bs, bs*TCout) — output stays folded, so the masks, BN,
+    residual adds and skip concats that follow never pay a layout copy."""
+    k = w_dense.shape[0]
+    pad = k // 2
+    bs = zfeats.shape[1]
+    tcin = zfeats.shape[-1] // bs
+    h = halo_z(zfeats, nbr27, pad, tcin)
+    wz = pack_zband_kernel(w_dense, bs, pad)
+    out = jax.lax.conv_general_dilated(
+        h,
+        wz,
+        window_strides=(1, 1),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=(
+            jax.lax.Precision.HIGHEST
+            if h.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT
+        ),
+    )
+    return mask_bricks(out, occz)
+
+
 def mask_bricks(feats: jnp.ndarray, occ: jnp.ndarray) -> jnp.ndarray:
     """Zero phantom (voxel, t) slots. feats (B,s,s,s,T*C), occ (B,s,s,s,T).
 
@@ -413,10 +539,11 @@ def _conv3d(x, w, padding):
         window_strides=(1, 1, 1),
         padding=padding,
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        preferred_element_type=jnp.float32,
-        # f32 inputs get full-precision accumulation (the CPU/GPU conv
-        # otherwise drops to bf16-equivalent); bf16 inputs keep the fast
-        # native path with f32 accumulation via preferred_element_type.
+        # f32 inputs get full-precision accumulation via HIGHEST. bf16
+        # inputs keep bf16 outputs: the MXU accumulates bf16 convs in f32
+        # internally, and a preferred_element_type=f32 here breaks the
+        # grad trace (the conv transpose rule would pair a f32 cotangent
+        # with the bf16 operand and conv requires matching dtypes).
         precision=(
             jax.lax.Precision.HIGHEST
             if x.dtype == jnp.float32
@@ -532,6 +659,51 @@ def brick_conv_up(
     for k2, (a, b2, c2) in enumerate(OCT_OFFSETS):
         out = out.at[:, a::2, b2::2, c2::2].set(sub @ w_packed[k2])
     return mask_bricks(out, occ_fine)
+
+
+def brick_conv_down_cross(
+    fine_feats: jnp.ndarray,
+    cross_child: jnp.ndarray,
+    cross_par: jnp.ndarray,
+    w_packed: jnp.ndarray,
+    occ_coarse: jnp.ndarray,
+) -> jnp.ndarray:
+    """Kernel-2 stride-2 conv across a brick-side boundary: each coarse
+    brick of side cs covers a (2cs)^3 fine-voxel block that lies inside
+    EXACTLY ONE fine brick of side bs >= 2cs (because 2cs divides bs), at
+    a sub-block offset selected by cross_par.
+
+    fine_feats: (Bf, bs, bs, bs, T*Cin) fine brick features.
+    cross_child: (Bc,) fine brick row holding the block (EMPTY if absent).
+    cross_par: (Bc, 3) sub-block index per axis (0 .. bs/(2cs) - 1).
+    w_packed: (8, T*Cin, T*Cout) OCT_OFFSETS order.
+    occ_coarse: (Bc, cs, cs, cs, T)."""
+    bs = fine_feats.shape[1]
+    cs = occ_coarse.shape[1]
+    w = 2 * cs  # fine-voxel block edge
+    npar = bs // w
+    tcin = fine_feats.shape[-1]
+    bf = fine_feats.shape[0]
+    bc = cross_child.shape[0]
+    # One stacked gather over the npar^3 pre-sliced sub-block classes
+    # (same grouping trick as halo: equal flattened lengths per class).
+    srcs = []
+    for a in range(npar):
+        for b2 in range(npar):
+            for c2 in range(npar):
+                sl = fine_feats[
+                    :, a * w : (a + 1) * w, b2 * w : (b2 + 1) * w, c2 * w : (c2 + 1) * w
+                ]
+                srcs.append(sl.reshape(bf, -1))
+    stack = jnp.concatenate(srcs, axis=0)  # (npar^3 * Bf, w^3*TCin)
+    kidx = (cross_par[:, 0] * npar + cross_par[:, 1]) * npar + cross_par[:, 2]
+    flat_idx = jnp.where(cross_child >= 0, kidx * bf + cross_child, -1)
+    big = take_rows(stack, flat_idx).reshape(bc, w, w, w, tcin)
+    x = big.reshape(bc, cs, 2, cs, 2, cs, 2, tcin)
+    acc = 0.0
+    for k2, (a, b2, c2) in enumerate(OCT_OFFSETS):
+        acc = acc + x[:, :, a, :, b2, :, c2, :] @ w_packed[k2]
+    return mask_bricks(acc, occ_coarse)
 
 
 def brick_conv_up_from_rows(

@@ -162,3 +162,33 @@ def register(
     rmse = jnp.sqrt(jnp.sum(w * r * r) / jnp.maximum(jnp.sum(w), 1.0))
     stats = {"inliers": jnp.sum(hit.astype(jnp.int32)), "rmse": rmse}
     return pose, stats
+
+
+def register_pyramid(
+    vmaps,
+    scan: jnp.ndarray,
+    valid: jnp.ndarray,
+    init_pose: jnp.ndarray,
+    *,
+    iters: int = 12,
+    huber: float = 0.3,
+):
+    """Coarse-to-fine ICP over a list of VoxelMaps (coarsest first).
+
+    The single-level 27-neighbor correspondence search only captures
+    matches within ~2 voxels, so a prior error beyond that basin stalls
+    (point-to-plane slides along the ground). Registering on a coarser
+    map first widens the basin to a few meters (hdl_localization's NDT
+    matcher has a similarly wide basin via its 2+ m resolution grid),
+    then the fine level recovers accuracy. Jittable; fixed trip counts.
+    """
+    pose = init_pose
+    stats = None
+    for li, vm in enumerate(vmaps):
+        # Coarse levels: fewer iters, wider huber (their residuals are
+        # voxel-quantization-noisy); the finest level gets the full count.
+        last = li == len(vmaps) - 1
+        it = iters if last else max(iters // 2, 4)
+        hb = huber if last else huber * vm.voxel_size / vmaps[-1].voxel_size
+        pose, stats = register(vm, scan, valid, pose, iters=it, huber=hb)
+    return pose, stats

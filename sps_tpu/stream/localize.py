@@ -119,6 +119,11 @@ def run_localization(
     assert filter_mode in FILTERS
     scans, gt_poses = blt.load_sequences_raw(cfg.data.root, [sequence])
     map_points = blt.load_map(cfg.data.root, cfg.data.map_file)
+    # Two-level registration pyramid: the coarse map (16x voxel) widens
+    # the convergence basin to a few meters (the constant-velocity prior
+    # for scan 1 starts a full step off), the fine map (4x) recovers
+    # centimeter accuracy. See register.register_pyramid.
+    vmap_coarse = reg.build_voxel_map(map_points, voxel_size=16 * cfg.voxel_size)
     vmap = reg.build_voxel_map(map_points, voxel_size=4 * cfg.voxel_size)
     filt = None
     if filter_mode in ("sps", "mask"):
@@ -138,7 +143,7 @@ def run_localization(
     # baked into the program as constants and send XLA compile time from
     # seconds to tens of minutes at map scale.
     reg_fn = jax.jit(
-        lambda vm, s, v, p: reg.register(vm, s, v, p, iters=icp_iters)
+        lambda vms, s, v, p: reg.register_pyramid(vms, s, v, p, iters=icp_iters)
     )
 
     est_list: list[np.ndarray] = []
@@ -197,7 +202,10 @@ def run_localization(
         kept = keep & sv
         kept_frac.append(kept.sum() / max(sv.sum(), 1))
         pose, stats_r = reg_fn(
-            vmap, jnp.asarray(sx), jnp.asarray(kept), jnp.asarray(guess.astype(np.float32))
+            (vmap_coarse, vmap),
+            jnp.asarray(sx),
+            jnp.asarray(kept),
+            jnp.asarray(guess.astype(np.float32)),
         )
         est = np.asarray(pose)
         est_list.append(est)

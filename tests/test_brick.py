@@ -99,6 +99,17 @@ def test_brick_conv_matches_dense_ref(ksize, kt):
     np.testing.assert_allclose(
         np.asarray(out_h), np.asarray(out), rtol=1e-4, atol=1e-5
     )
+    # zband (z folded into channels, one 2D conv) must also agree.
+    occz = grid.occ.reshape(BCAP, 4, 4, 4 * T)
+    out_z = jax.jit(brick.brick_conv_zband)(
+        brick.fold_z(jnp.asarray(feats)), levels[0].nbr27, wd, occz
+    )
+    np.testing.assert_allclose(
+        np.asarray(brick.unfold_z(out_z, T * cout)),
+        np.asarray(out),
+        rtol=1e-4,
+        atol=1e-5,
+    )
 
 
 def test_brick_down_conv_matches_dense_ref():
