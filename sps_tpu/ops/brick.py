@@ -380,11 +380,16 @@ def halo(feats: jnp.ndarray, nbr27: jnp.ndarray, pad: int) -> jnp.ndarray:
             shapes.append(sl.shape[1:])
             srcs.append(sl.reshape(b, -1))
             idxs.append(nbr27[k])
-        stack = jnp.concatenate(srcs, axis=0)  # (len*b, L)
+        # One trailing zero row folds into the (already materializing)
+        # concat; absent neighbors (idx -1) gather IT instead of paying a
+        # full-width clip + mask multiply after the gather (the multiply
+        # alone was ~8 ms/scan at BLT scale).
+        zrow = jnp.zeros((1, srcs[0].shape[1]), feats.dtype)
+        stack = jnp.concatenate(srcs + [zrow], axis=0)  # (len*b+1, L)
         idx = jnp.stack(idxs)  # (len, b)
         off = (jnp.arange(len(items), dtype=jnp.int32) * b)[:, None]
-        flat_idx = jnp.where(idx >= 0, idx + off, -1).reshape(-1)
-        g = take_rows(stack, flat_idx).reshape(len(items), b, -1)
+        flat_idx = jnp.where(idx >= 0, idx + off, len(items) * b).reshape(-1)
+        g = stack[flat_idx].reshape(len(items), b, -1)
         for i, (k, dx, dy, dz) in enumerate(items):
             pieces[k] = g[i].reshape((b,) + shapes[i])
 
@@ -449,11 +454,13 @@ def halo_z(zfeats: jnp.ndarray, nbr27: jnp.ndarray, pad: int, tc: int) -> jnp.nd
             shapes.append(sl.shape[1:])
             srcs.append(sl.reshape(b, -1))
             idxs.append(nbr27[k])
-        stack = jnp.concatenate(srcs, axis=0)
+        # Trailing zero row instead of post-gather masking (see halo()).
+        zrow = jnp.zeros((1, srcs[0].shape[1]), zfeats.dtype)
+        stack = jnp.concatenate(srcs + [zrow], axis=0)
         idx = jnp.stack(idxs)
         off = (jnp.arange(len(items), dtype=jnp.int32) * b)[:, None]
-        flat_idx = jnp.where(idx >= 0, idx + off, -1).reshape(-1)
-        g = take_rows(stack, flat_idx).reshape(len(items), b, -1)
+        flat_idx = jnp.where(idx >= 0, idx + off, len(items) * b).reshape(-1)
+        g = stack[flat_idx].reshape(len(items), b, -1)
         for i, (k, dx, dy, dz) in enumerate(items):
             pieces[k] = g[i].reshape((b,) + shapes[i])
 
