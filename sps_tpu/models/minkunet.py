@@ -175,6 +175,9 @@ class SpConv(nn.Module):
     num_time: int
     use_bias: bool = False  # ME MinkowskiConvolution default bias=False
     conv_mode: str = "region"
+    # False elides the output mask when a MaskedBatchNorm follows (the BN
+    # re-masks; saves one full-tensor pass per conv — see docs/DESIGN.md).
+    mask_out: bool = True
 
     @nn.compact
     def __call__(self, feats, lvl, occ):
@@ -201,20 +204,28 @@ class SpConv(nn.Module):
             out = feats @ wp
             if bias is not None:
                 out = out + jnp.tile(bias, reps)
-            return mask_any(out, occ)
+            return mask_any(out, occ) if self.mask_out else out
         if _is_brick(lvl):
             wd = bk.pack_dense_kernel(w, self.num_time)
             if feats.ndim == 4:
-                return bk.brick_conv_zband(feats, lvl.nbr27, wd, occ)
+                return bk.brick_conv_zband(
+                    feats, lvl.nbr27, wd, occ, mask_out=self.mask_out
+                )
             # Unfolded levels under conv_mode="zband" use the halo assembly
             # (the measured-best dense-brick formulation at wide channels).
             mode = "halo" if self.conv_mode == "zband" else self.conv_mode
-            return bk.brick_conv(feats, lvl.nbr27, wd, occ, mode)
+            return bk.brick_conv(
+                feats, lvl.nbr27, wd, occ, mode, mask_out=self.mask_out
+            )
         wp = sc.pack_time_toeplitz(w, self.num_time)
         if _is_row(lvl):
             assert self.ksize == 3, "row levels carry 27-neighbor tables only"
-            return sc.sparse_conv(feats, lvl.nbr27, wp, occ, unroll=True)
-        return sc.sparse_conv(feats, lvl.nbr[self.ksize], wp, occ)
+            return sc.sparse_conv(
+                feats, lvl.nbr27, wp, occ, mask_out=self.mask_out
+            )
+        return sc.sparse_conv(
+            feats, lvl.nbr[self.ksize], wp, occ, mask_out=self.mask_out
+        )
 
 
 class SpConvDown(nn.Module):
@@ -224,6 +235,7 @@ class SpConvDown(nn.Module):
     cout: int
     num_time: int
     fold_out: bool = False  # return z-folded (target level is zband-folded)
+    mask_out: bool = True  # see SpConv.mask_out
 
     @nn.compact
     def __call__(self, feats, coarse_lvl):
@@ -236,10 +248,13 @@ class SpConvDown(nn.Module):
                 fin = bk.unfold_z(feats, feats.shape[-1] // feats.shape[1])
             if coarse_lvl.cross_child is not None:  # side boundary (8 -> 2)
                 out = bk.brick_conv_down_cross(
-                    fin, coarse_lvl.cross_child, coarse_lvl.cross_par, wp, occ
+                    fin, coarse_lvl.cross_child, coarse_lvl.cross_par, wp, occ,
+                    mask_out=self.mask_out,
                 )
             else:
-                out = bk.brick_conv_down(fin, coarse_lvl.child, wp, occ)
+                out = bk.brick_conv_down(
+                    fin, coarse_lvl.child, wp, occ, mask_out=self.mask_out
+                )
             return bk.fold_z(out) if self.fold_out else out
         if _is_row(coarse_lvl):
             # Hybrid boundary: the finer features may still be brick-form
@@ -251,8 +266,12 @@ class SpConvDown(nn.Module):
                 f2 = feats.reshape(-1, feats.shape[-1] // feats.shape[1])
             else:
                 f2 = feats
-            return sc.sparse_conv_down(f2, coarse_lvl.child, wp, occ)
-        return sc.sparse_conv_down(feats, coarse_lvl.child, wp, occ)
+            return sc.sparse_conv_down(
+                f2, coarse_lvl.child, wp, occ, mask_out=self.mask_out
+            )
+        return sc.sparse_conv_down(
+            feats, coarse_lvl.child, wp, occ, mask_out=self.mask_out
+        )
 
 
 class SpConvUp(nn.Module):
@@ -262,6 +281,7 @@ class SpConvUp(nn.Module):
     cout: int
     num_time: int
     fold_out: bool = False  # return z-folded (target level is zband-folded)
+    mask_out: bool = True  # see SpConv.mask_out
 
     @nn.compact
     def __call__(self, feats, fine_lvl):
@@ -275,15 +295,21 @@ class SpConvUp(nn.Module):
                 # ids row*8+local, and the flatten preserves that order).
                 f2 = feats if feats.ndim == 2 else feats.reshape(-1, feats.shape[-1])
                 out = bk.brick_conv_up_from_rows(
-                    f2, fine_lvl.parent_rows, wp, occ
+                    f2, fine_lvl.parent_rows, wp, occ, mask_out=self.mask_out
                 )
             else:
                 fin = feats
                 if feats.ndim == 4:
                     fin = bk.unfold_z(feats, feats.shape[-1] // feats.shape[1])
-                out = bk.brick_conv_up(fin, fine_lvl.parent, fine_lvl.oct, wp, occ)
+                out = bk.brick_conv_up(
+                    fin, fine_lvl.parent, fine_lvl.oct, wp, occ,
+                    mask_out=self.mask_out,
+                )
             return bk.fold_z(out) if self.fold_out else out
-        return sc.sparse_conv_up(feats, fine_lvl.parent, fine_lvl.parity, wp, occ)
+        return sc.sparse_conv_up(
+            feats, fine_lvl.parent, fine_lvl.parity, wp, occ,
+            mask_out=self.mask_out,
+        )
 
 
 class BasicBlock(nn.Module):
@@ -297,6 +323,12 @@ class BasicBlock(nn.Module):
 
     @nn.compact
     def __call__(self, feats, lvl, occ, train: bool):
+        # Masking discipline: every conv here feeds a MaskedBatchNorm,
+        # which re-masks, so the convs run mask_out=False; relu preserves
+        # zeros, and the sum of two masked operands is masked, so neither
+        # relu needs a mask either. Inputs to convs stay fully masked
+        # (phantom slots exactly zero) throughout — required by the
+        # halo/neighbor gathers.
         t = self.num_time
         out = SpConv(
             self.cin,
@@ -305,10 +337,11 @@ class BasicBlock(nn.Module):
             3,
             t,
             conv_mode=self.conv_mode,
+            mask_out=False,
             name="conv1",
         )(feats, lvl, occ)
         out = MaskedBatchNorm(self.planes, name="norm1")(out, occ, train)
-        out = mask_any(nn.relu(out), occ)
+        out = nn.relu(out)
         out = SpConv(
             self.planes,
             self.planes,
@@ -316,17 +349,19 @@ class BasicBlock(nn.Module):
             3,
             t,
             conv_mode=self.conv_mode,
+            mask_out=False,
             name="conv2",
         )(out, lvl, occ)
         out = MaskedBatchNorm(self.planes, name="norm2")(out, occ, train)
         if self.cin != self.planes:
-            res = SpConv(self.cin, self.planes, 1, 1, t, name="downsample_conv")(
-                feats, lvl, occ
-            )
+            res = SpConv(
+                self.cin, self.planes, 1, 1, t, mask_out=False,
+                name="downsample_conv",
+            )(feats, lvl, occ)
             res = MaskedBatchNorm(self.planes, name="downsample_norm")(res, occ, train)
         else:
             res = feats
-        return mask_any(nn.relu(out + res), occ)
+        return nn.relu(out + res)
 
 
 def _blocks(name, n, cin, planes, num_time, block_kernel=3, conv_mode="region"):
@@ -375,7 +410,8 @@ class MinkUNet(nn.Module):
             feats = bk.fold_z(feats)
 
         def relu(x, o):
-            return mask_any(nn.relu(x), o)
+            del o  # input is BN output: already masked, relu keeps zeros
+            return nn.relu(x)
 
         # Stem (minkunet.py:55-62): kernel (5,5,5,1).
         x = SpConv(
@@ -385,6 +421,7 @@ class MinkUNet(nn.Module):
             1,
             t,
             conv_mode=cfg.conv_mode,
+            mask_out=False,
             name="conv0p1s1",
         )(
             feats, l0, occ[0]
@@ -394,7 +431,9 @@ class MinkUNet(nn.Module):
 
         # Encoder.
         def down(x, name, cin, cout, coarse, bnname, occ_c, fold_out):
-            y = SpConvDown(cin, cout, t, fold_out=fold_out, name=name)(x, coarse)
+            y = SpConvDown(
+                cin, cout, t, fold_out=fold_out, mask_out=False, name=name
+            )(x, coarse)
             y = MaskedBatchNorm(cout, name=bnname)(y, occ_c, train)
             return relu(y, occ_c)
 
@@ -419,7 +458,9 @@ class MinkUNet(nn.Module):
 
         # Decoder (minkunet.py:107-158,188-217).
         def up(x, name, cin, cout, fine, bnname, occ_f, fold_out):
-            y = SpConvUp(cin, cout, t, fold_out=fold_out, name=name)(x, fine)
+            y = SpConvUp(
+                cin, cout, t, fold_out=fold_out, mask_out=False, name=name
+            )(x, fine)
             y = MaskedBatchNorm(cout, name=bnname)(y, occ_f, train)
             return relu(y, occ_f)
 

@@ -499,6 +499,8 @@ def brick_conv_zband(
     nbr27: jnp.ndarray,
     w_dense: jnp.ndarray,
     occz: jnp.ndarray,
+    *,
+    mask_out: bool = True,
 ) -> jnp.ndarray:
     """Stride-1 sparse conv in the z-folded layout: assemble the folded
     halo and run ONE 2D conv whose channel axes carry z (pack_zband_kernel).
@@ -524,7 +526,7 @@ def brick_conv_zband(
             else jax.lax.Precision.DEFAULT
         ),
     )
-    return mask_bricks(out, occz)
+    return mask_bricks(out, occz) if mask_out else out
 
 
 def mask_bricks(feats: jnp.ndarray, occ: jnp.ndarray) -> jnp.ndarray:
@@ -565,6 +567,8 @@ def brick_conv(
     w_dense: jnp.ndarray,
     occ: jnp.ndarray,
     mode: str = "region",
+    *,
+    mask_out: bool = True,
 ) -> jnp.ndarray:
     """Stride-1 sparse conv as dense 3D conv over halo blocks.
 
@@ -584,8 +588,8 @@ def brick_conv(
     pad = k // 2
     if k != 3 or mode == "halo":
         h = halo(feats, nbr27, pad)
-        out = _conv3d(h, w_dense, "VALID")
-        return mask_bricks(out.astype(feats.dtype), occ)
+        out = _conv3d(h, w_dense, "VALID").astype(feats.dtype)
+        return mask_bricks(out, occ) if mask_out else out
 
     # Center contribution: SAME conv within the brick.
     out = _conv3d(feats, w_dense, "SAME")
@@ -609,7 +613,8 @@ def brick_conv(
         slab = take_rows(feats[:, sx, sy, sz], nbr27[kk])
         contrib = _conv3d(slab, w_dense[kx, ky, kz], (px, py, pz))
         out = out + jnp.pad(contrib, ((0, 0), wx, wy, wz, (0, 0)))
-    return mask_bricks(out.astype(feats.dtype), occ)
+    out = out.astype(feats.dtype)
+    return mask_bricks(out, occ) if mask_out else out
 
 
 def brick_conv_down(
@@ -617,6 +622,8 @@ def brick_conv_down(
     child: jnp.ndarray,
     w_packed: jnp.ndarray,
     occ_coarse: jnp.ndarray,
+    *,
+    mask_out: bool = True,
 ) -> jnp.ndarray:
     """Kernel-2 stride-2 conv: assemble 8 children, reduce 2^3 windows.
 
@@ -631,7 +638,7 @@ def brick_conv_down(
     acc = 0.0
     for k2, (a, b2, c2) in enumerate(OCT_OFFSETS):
         acc = acc + x[:, :, a, :, b2, :, c2, :] @ w_packed[k2]
-    return mask_bricks(acc, occ_coarse)
+    return mask_bricks(acc, occ_coarse) if mask_out else acc
 
 
 def brick_conv_up(
@@ -640,6 +647,8 @@ def brick_conv_up(
     oct_: jnp.ndarray,
     w_packed: jnp.ndarray,
     occ_fine: jnp.ndarray,
+    *,
+    mask_out: bool = True,
 ) -> jnp.ndarray:
     """Transpose kernel-2 stride-2 conv: fine brick pulls its parent's
     octant sub-block and expands each coarse voxel into 2^3 fine voxels.
@@ -665,7 +674,7 @@ def brick_conv_up(
     out = jnp.zeros((bf, bs, bs, bs, tcout), coarse_feats.dtype)
     for k2, (a, b2, c2) in enumerate(OCT_OFFSETS):
         out = out.at[:, a::2, b2::2, c2::2].set(sub @ w_packed[k2])
-    return mask_bricks(out, occ_fine)
+    return mask_bricks(out, occ_fine) if mask_out else out
 
 
 def brick_conv_down_cross(
@@ -674,6 +683,8 @@ def brick_conv_down_cross(
     cross_par: jnp.ndarray,
     w_packed: jnp.ndarray,
     occ_coarse: jnp.ndarray,
+    *,
+    mask_out: bool = True,
 ) -> jnp.ndarray:
     """Kernel-2 stride-2 conv across a brick-side boundary: each coarse
     brick of side cs covers a (2cs)^3 fine-voxel block that lies inside
@@ -710,7 +721,7 @@ def brick_conv_down_cross(
     acc = 0.0
     for k2, (a, b2, c2) in enumerate(OCT_OFFSETS):
         acc = acc + x[:, :, a, :, b2, :, c2, :] @ w_packed[k2]
-    return mask_bricks(acc, occ_coarse)
+    return mask_bricks(acc, occ_coarse) if mask_out else acc
 
 
 def brick_conv_up_from_rows(
@@ -718,6 +729,8 @@ def brick_conv_up_from_rows(
     parent_rows: jnp.ndarray,
     w_packed: jnp.ndarray,
     occ_fine: jnp.ndarray,
+    *,
+    mask_out: bool = True,
 ) -> jnp.ndarray:
     """Transpose kernel-2 stride-2 conv across the hybrid boundary: fine
     BRICKS pull their (bs/2)^3 parent-voxel block from coarse ROWS.
@@ -736,7 +749,7 @@ def brick_conv_up_from_rows(
     out = jnp.zeros((bf, bs, bs, bs, tcout), row_feats.dtype)
     for k2, (a, b2, c2) in enumerate(OCT_OFFSETS):
         out = out.at[:, a::2, b2::2, c2::2].set(sub @ w_packed[k2])
-    return mask_bricks(out, occ_fine)
+    return mask_bricks(out, occ_fine) if mask_out else out
 
 
 def pack_dense_kernel(w: jnp.ndarray, num_time: int) -> jnp.ndarray:

@@ -77,37 +77,39 @@ def sparse_conv(
     occ: jnp.ndarray,
     *,
     unroll: bool = False,
+    mask_out: bool = True,
 ) -> jnp.ndarray:
     """Stride-1 sparse conv: out[i] = sum_k F[nbr[k, i]] @ W[k].
+
+    Assembled as ONE flat row gather in (V_out, K*TCin) memory order
+    feeding ONE matmul against the (K*TCin, TCout) reshape of the packed
+    weights: K separate per-offset gathers run ~3x slower on v5e (grouped
+    gather rule, docs/DESIGN.md §4), and the (v, k) index order makes the
+    gathered block contiguous with the weight reshape — no transpose.
+    Absent neighbors (nbr = -1) gather a trailing zero row instead of a
+    post-gather mask multiply.
 
     Args:
       feats: (V, T*Cin) input features (phantom slots already zero).
       nbr: (K, V) int32 neighbor table (-1 = absent).
       w_packed: (K, T*Cin, T*Cout) from pack_time_toeplitz.
       occ: (V, T) occupancy; output phantom slots are zeroed.
-      unroll: unroll the K loop into the HLO instead of lax.scan (faster
-        for small K, bigger program).
+      unroll: unused (kept for call-site compatibility).
+      mask_out: skip the output mask when the caller immediately
+        re-masks (e.g. a MaskedBatchNorm follows).
 
     Returns: (V_out, T*Cout) where V_out = nbr.shape[1] (== V for stride-1
     convs; the coarse row count for strided convs).
     """
+    del unroll
     v = nbr.shape[1]
-    t = occ.shape[1]
-    cout = w_packed.shape[-1] // t
-
-    if unroll:
-        out = jnp.zeros((v, t * cout), feats.dtype)
-        for k in range(nbr.shape[0]):
-            out = out + take_rows(feats, nbr[k]) @ w_packed[k]
-    else:
-        def step(acc, kx):
-            nbr_k, w_k = kx
-            return acc + take_rows(feats, nbr_k) @ w_k, None
-
-        out, _ = jax.lax.scan(
-            step, jnp.zeros((v, t * cout), feats.dtype), (nbr, w_packed)
-        )
-    return mask_slots(out, occ)
+    k = nbr.shape[0]
+    tc = feats.shape[1]
+    fz = jnp.concatenate([feats, jnp.zeros((1, tc), feats.dtype)], axis=0)
+    idx = jnp.where(nbr >= 0, nbr, feats.shape[0]).T.reshape(-1)  # (v*k,)
+    g = fz[idx].reshape(v, k * tc)
+    out = g @ w_packed.reshape(k * tc, w_packed.shape[-1])
+    return mask_slots(out, occ) if mask_out else out
 
 
 def sparse_conv_down(
@@ -115,6 +117,8 @@ def sparse_conv_down(
     child: jnp.ndarray,
     w_packed: jnp.ndarray,
     occ_coarse: jnp.ndarray,
+    *,
+    mask_out: bool = True,
 ) -> jnp.ndarray:
     """Strided conv (kernel 2, stride 2): gather 8 children per coarse row.
 
@@ -127,7 +131,7 @@ def sparse_conv_down(
       w_packed: (8, T*Cin, T*Cout).
       occ_coarse: (V_coarse, T).
     """
-    return sparse_conv(feats, child, w_packed, occ_coarse, unroll=True)
+    return sparse_conv(feats, child, w_packed, occ_coarse, mask_out=mask_out)
 
 
 def sparse_conv_up(
@@ -136,6 +140,8 @@ def sparse_conv_up(
     parity: jnp.ndarray,
     w_packed: jnp.ndarray,
     occ_fine: jnp.ndarray,
+    *,
+    mask_out: bool = True,
 ) -> jnp.ndarray:
     """Transpose conv (kernel 2, stride 2): one parity-selected gather.
 
@@ -158,7 +164,7 @@ def sparse_conv_up(
     onehot = jax.nn.one_hot(parity, 8, dtype=feats.dtype)  # (V_fine, 8)
     for p in range(8):
         out = out + (gathered @ w_packed[p]) * onehot[:, p : p + 1]
-    return mask_slots(out, occ_fine)
+    return mask_slots(out, occ_fine) if mask_out else out
 
 
 def sparse_conv_1x1(
