@@ -276,16 +276,17 @@ def downsample(grid: AtlasGrid, coarse_capacity: int, coarse_extent: tuple):
 
 
 def neighbor_table(grid: AtlasGrid, offsets: np.ndarray) -> jnp.ndarray:
-    """(K, Bcap) neighbor brick rows for static offsets: K dense gathers,
-    zero probe rounds (vs. hash _brick_lookup's probe loops)."""
+    """(K, Bcap) neighbor brick rows for static offsets: ONE dense gather
+    over all K offsets (grouped-gather rule, docs/DESIGN.md §4), zero
+    probe rounds (vs. hash _brick_lookup's probe loops)."""
     bcap = grid.coords.shape[0]
+    k = len(offsets)
     valid = jnp.arange(bcap) < grid.num_bricks
     batch = jnp.where(valid, grid.coords[:, 0], -1)
-    out = []
-    for off in offsets:
-        q = grid.coords[:, 1:] + jnp.asarray(off, jnp.int32)[None, :]
-        out.append(atlas_rows(grid, batch, q))
-    return jnp.stack(out)
+    offs = jnp.asarray(np.asarray(offsets), jnp.int32)  # (K, 3)
+    q = (grid.coords[None, :, 1:] + offs[:, None, :]).reshape(-1, 3)
+    b = jnp.broadcast_to(batch[None, :], (k, bcap)).reshape(-1)
+    return atlas_rows(grid, b, q).reshape(k, bcap)
 
 
 def level_extents(extent: tuple, num_levels: int) -> list[tuple]:
@@ -388,25 +389,22 @@ def hybridize_levels(
         ly = (lflat_of_row // bs) % bs
         lz = lflat_of_row % bs
 
-        def rows_at(nbrick, nlx, nly, nlz, rowmap=rowmap, bvol=bvol, bs=bs, s=s):
-            nl = (nlx * bs + nly) * bs + nlz
-            slot = jnp.where(nbrick >= 0, nbrick * bvol + nl, s)
-            return rowmap[jnp.minimum(slot, s)]
-
         # 27-neighbor voxel table via the brick 27-table (a voxel offset
-        # of +-1 crosses at most one brick boundary per axis).
-        nbrs = []
-        for dx, dy, dz in bk.OFFS27:
-            nlx, nly, nlz = lx + dx, ly + dy, lz + dz
-            cx = jnp.clip(nlx, -1, bs) // bs
-            cy = jnp.clip(nly, -1, bs) // bs
-            cz = jnp.clip(nlz, -1, bs) // bs
-            kidx = ((cx + 1) * 3 + (cy + 1)) * 3 + (cz + 1)
-            nbrick = bl.nbr27.reshape(-1)[kidx * bcap + brick_of_row]
-            nbrs.append(
-                rows_at(nbrick, nlx & (bs - 1), nly & (bs - 1), nlz & (bs - 1))
-            )
-        nbr27 = jnp.where(valid_rows[None, :], jnp.stack(nbrs), EMPTY)
+        # of +-1 crosses at most one brick boundary per axis). All 27
+        # offsets resolve with TWO grouped gathers (brick table, then
+        # rowmap) instead of 54 per-offset ones (grouped-gather rule,
+        # docs/DESIGN.md §4).
+        offs = jnp.asarray(np.asarray(bk.OFFS27), jnp.int32)  # (27, 3)
+        n3 = jnp.stack([lx, ly, lz])[None, :, :] + offs[:, :, None]  # (27,3,cap)
+        c3 = jnp.clip(n3, -1, bs) // bs
+        kidx = ((c3[:, 0] + 1) * 3 + (c3[:, 1] + 1)) * 3 + (c3[:, 2] + 1)
+        bidx = (kidx * bcap + brick_of_row[None, :]).reshape(-1)
+        nbrick = bl.nbr27.reshape(-1)[bidx].reshape(27, capacity)
+        nlm = n3 & (bs - 1)
+        nl = (nlm[:, 0] * bs + nlm[:, 1]) * bs + nlm[:, 2]
+        slot = jnp.where(nbrick >= 0, nbrick * bvol + nl, s)
+        nbr27 = rowmap[jnp.minimum(slot, s).reshape(-1)].reshape(27, capacity)
+        nbr27 = jnp.where(valid_rows[None, :], nbr27, EMPTY)
 
         child = _hybrid_child(
             bl, levels[li - 1], brick_of_row, lx, ly, lz, bs,
@@ -665,18 +663,21 @@ def _hybrid_child(
     fbcap = fine_bl.grid.occ.shape[0]
     bvol = bs**3
     fs = fbcap * bvol
-    outs = []
-    for a, b2, c2 in bk.OCT_OFFSETS:
-        fx, fy, fz = 2 * lx + a, 2 * ly + b2, 2 * lz + c2
-        kflat = ((fx // bs) * 2 + (fy // bs)) * 2 + (fz // bs)
-        fbrick = bl.child.reshape(-1)[kflat * bcap + brick_of_row]
-        fl = ((fx & (bs - 1)) * bs + (fy & (bs - 1))) * bs + (fz & (bs - 1))
-        fslot = jnp.where(fbrick >= 0, fbrick * bvol + fl, fs)
-        if fine_rowmap is not None:
-            outs.append(fine_rowmap[jnp.minimum(fslot, fs)])
-        else:
-            outs.append(jnp.where(fslot < fs, fslot, EMPTY))
-    return jnp.where(valid_rows[None, :], jnp.stack(outs), EMPTY)
+    cap = brick_of_row.shape[0]
+    # All 8 octants via two grouped gathers (child table, then rowmap).
+    octs = jnp.asarray(np.asarray(bk.OCT_OFFSETS), jnp.int32)  # (8, 3)
+    f3 = 2 * jnp.stack([lx, ly, lz])[None, :, :] + octs[:, :, None]  # (8,3,cap)
+    kflat = ((f3[:, 0] // bs) * 2 + (f3[:, 1] // bs)) * 2 + (f3[:, 2] // bs)
+    cidx = (kflat * bcap + brick_of_row[None, :]).reshape(-1)
+    fbrick = bl.child.reshape(-1)[cidx].reshape(8, cap)
+    fm = f3 & (bs - 1)
+    fl = (fm[:, 0] * bs + fm[:, 1]) * bs + fm[:, 2]
+    fslot = jnp.where(fbrick >= 0, fbrick * bvol + fl, fs)
+    if fine_rowmap is not None:
+        outs = fine_rowmap[jnp.minimum(fslot, fs).reshape(-1)].reshape(8, cap)
+    else:
+        outs = jnp.where(fslot < fs, fslot, EMPTY)
+    return jnp.where(valid_rows[None, :], outs, EMPTY)
 
 
 def build_levels(
