@@ -18,16 +18,35 @@ import click
               help="scan density; 400 -> ~6k pts/scan (fits config_small), "
                    "use ~8000 for BLT-scale ~120k pts (config.yaml)")
 @click.option("--ground-points", type=int, default=22000)
-def main(root, scans_per_seq, seed, n_rays, ground_points):
+@click.option("--dense", is_flag=True,
+              help="dense-world generator (surface-sampled map and scans; "
+                   "use for localization experiments — see generate_dense)")
+@click.option("--map-density", type=float, default=260.0)
+@click.option("--scan-density", type=float, default=28.0)
+@click.option("--clutter-boxes", type=int, default=14)
+@click.option("--clutter-scale", type=float, default=1.6)
+def main(root, scans_per_seq, seed, n_rays, ground_points, dense,
+         map_density, scan_density, clutter_boxes, clutter_scale):
     from sps_tpu.data import synthetic
 
-    synthetic.generate(
-        root,
-        scans_per_seq=scans_per_seq,
-        seed=seed,
-        n_rays=n_rays,
-        ground_points=ground_points,
-    )
+    if dense:
+        synthetic.generate_dense(
+            root,
+            scans_per_seq=scans_per_seq,
+            seed=seed,
+            map_density=map_density,
+            scan_density=scan_density,
+            clutter_boxes=clutter_boxes,
+            clutter_scale=clutter_scale,
+        )
+    else:
+        synthetic.generate(
+            root,
+            scans_per_seq=scans_per_seq,
+            seed=seed,
+            n_rays=n_rays,
+            ground_points=ground_points,
+        )
     print(f"synthetic dataset written to {root}")
 
 

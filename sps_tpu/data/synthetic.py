@@ -121,3 +121,165 @@ def generate(
             np.save(os.path.join(sdir, "scans", f"{i:06d}.npy"), scan)
             np.savetxt(os.path.join(sdir, "poses", f"{i:06d}.txt"), pose, delimiter=",")
     return root
+
+
+# ---------------------------------------------------------------------------
+# Dense world (v2): surface-sampled map and scans.
+#
+# The legacy generator above subsamples ONE fixed point set for both the map
+# and every scan, at a density (~11 pts/m^2) far below one point per 0.1 m
+# voxel — scan-vs-map voxel overlap is then mostly accidental, which starves
+# the stability signal the reference's pipeline depends on (util.py:85-114
+# prunes by exact voxel overlap). Real BLT maps are accumulated from many
+# registered scans and are dense at the model's voxel size. The v2 world
+# keeps *surfaces* (ground plane + box walls) as the ground truth and draws
+# INDEPENDENT samples per artifact: dense for the map, sensor-like for each
+# scan — overlap then reflects true map support, as in the real data.
+# ---------------------------------------------------------------------------
+
+
+def _sample_walls(rng, cx, cy, sx, sy, h, m):
+    """m point samples over the 4 wall faces of one axis-aligned box."""
+    face = rng.integers(0, 4, m)
+    u = rng.uniform(-0.5, 0.5, m)
+    z = rng.uniform(0, h, m)
+    x = np.where(face < 2, u * sx, np.where(face == 2, -0.5 * sx, 0.5 * sx))
+    y = np.where(face >= 2, u * sy, np.where(face == 0, -0.5 * sy, 0.5 * sy))
+    return np.stack([cx + x, cy + y, z], 1)
+
+
+def _box_params(rng, n, extent, zmax=2.5, scale=1.0, ring=None):
+    """(n, 5) box parameters [cx, cy, sx, sy, h]. ring=(r0, r1) places
+    centers in an annulus around the origin (e.g. near the sensor loop)
+    instead of uniformly over the extent."""
+    if ring is None:
+        cx = rng.uniform(-extent, extent, n)
+        cy = rng.uniform(-extent, extent, n)
+    else:
+        r = rng.uniform(ring[0], ring[1], n)
+        a = rng.uniform(0, 2 * np.pi, n)
+        cx, cy = r * np.cos(a), r * np.sin(a)
+    sx = rng.uniform(0.5, 3.0, n) * scale
+    sy = rng.uniform(0.5, 3.0, n) * scale
+    h = rng.uniform(0.8, zmax, n)
+    return np.stack([cx, cy, sx, sy, h], 1)
+
+
+def _sample_box_set(rng, params, density, near=None, max_r=None):
+    """Sample all boxes' walls at `density` pts/m^2. With (near, max_r),
+    skip boxes entirely out of sensor range and drop samples beyond it."""
+    pts = []
+    for cx, cy, sx, sy, h in params:
+        if near is not None:
+            dc = np.hypot(cx - near[0], cy - near[1])
+            if dc - 0.5 * np.hypot(sx, sy) > max_r:
+                continue
+        area = 2.0 * (sx + sy) * h
+        m = max(4, int(area * density))
+        pts.append(_sample_walls(rng, cx, cy, sx, sy, h, m))
+    if not pts:
+        return np.zeros((0, 3), np.float32)
+    p = np.concatenate(pts, 0)
+    if near is not None:
+        d = np.hypot(p[:, 0] - near[0], p[:, 1] - near[1])
+        p = p[d < max_r]
+    return p.astype(np.float32)
+
+
+def _sample_ground(rng, density, extent, near=None, max_r=None):
+    """Ground-plane samples at `density` pts/m^2 over the extent square,
+    optionally restricted to the sensor disk."""
+    if near is None:
+        m = int((2 * extent) ** 2 * density)
+        g = rng.uniform(-extent, extent, (m, 2))
+    else:
+        m = int((2 * max_r) ** 2 * density)
+        g = rng.uniform(-max_r, max_r, (m, 2)) + np.asarray(near)[None, :]
+        g = g[np.hypot(g[:, 0] - near[0], g[:, 1] - near[1]) < max_r]
+        g = g[np.all(np.abs(g) < extent, axis=1)]
+    z = np.abs(rng.normal(0, 0.02, (len(g), 1)))
+    return np.concatenate([g, z], 1).astype(np.float32)
+
+
+def generate_dense(
+    root: str,
+    sequences=("20220420", "20220601", "20220608", "20220629"),
+    scans_per_seq: int = 12,
+    seed: int = 0,
+    extent: float = 22.0,
+    n_stable: int = 28,
+    map_density: float = 260.0,  # ~2.5 pts per (0.1 m)^2 cell: ~78% stable-point voxel support
+    scan_density: float = 28.0,
+    clutter_boxes: int = 14,
+    clutter_scale: float = 1.6,
+    max_r: float = 25.0,
+    noise: float = 0.012,
+    step_m: float = 1.0,
+):
+    """Dense-world synthetic dataset (same on-disk layout as generate()).
+
+    Clutter boxes are placed in an annulus straddling the sensor loop so
+    they dominate nearby returns — the regime where an unfiltered scan
+    corrupts scan-to-map registration and stability filtering pays off.
+    """
+    rng = np.random.default_rng(seed)
+    stable_boxes = _box_params(rng, n_stable, extent)
+
+    map_pts = np.concatenate(
+        [
+            _sample_ground(rng, map_density, extent),
+            _sample_box_set(rng, stable_boxes, map_density),
+        ],
+        0,
+    )
+    os.makedirs(os.path.join(root, "maps"), exist_ok=True)
+    np.save(
+        os.path.join(root, "maps", "base_map.asc.npy"),
+        np.concatenate([map_pts, np.zeros((len(map_pts), 1), np.float32)], 1),
+    )
+
+    radius = 0.55 * extent
+    for si, seq in enumerate(sequences):
+        srng = np.random.default_rng(seed + 1000 + si)
+        clutter_boxes_p = _box_params(
+            srng,
+            clutter_boxes,
+            extent,
+            scale=clutter_scale,
+            ring=(radius - 6.0, radius + 6.0),
+        )
+        sdir = os.path.join(root, "sequence", seq)
+        os.makedirs(os.path.join(sdir, "scans"), exist_ok=True)
+        os.makedirs(os.path.join(sdir, "poses"), exist_ok=True)
+        np.savetxt(os.path.join(sdir, "map_transform"), np.eye(4), delimiter=",")
+        ang_step = step_m / radius
+        for i in range(scans_per_seq):
+            ang = ang_step * i
+            pose_xy = radius * np.array([np.cos(ang), np.sin(ang)])
+            yaw = ang + np.pi / 2
+            c, s = np.cos(yaw), np.sin(yaw)
+            pose = np.eye(4)
+            pose[:3, :3] = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+            pose[:2, 3] = pose_xy
+            sg = _sample_ground(srng, scan_density, extent, pose_xy, max_r)
+            sb = _sample_box_set(srng, stable_boxes, scan_density, pose_xy, max_r)
+            cb = _sample_box_set(
+                srng, clutter_boxes_p, scan_density, pose_xy, max_r
+            )
+            pts_world = np.concatenate([sg, sb, cb], 0)
+            labels = np.concatenate(
+                [np.zeros(len(sg) + len(sb)), np.ones(len(cb))]
+            ).astype(np.float32)
+            pts_world = pts_world + srng.normal(0, noise, pts_world.shape).astype(
+                np.float32
+            )
+            inv = np.linalg.inv(pose)
+            pts_sensor = pts_world @ inv[:3, :3].T + inv[:3, 3]
+            scan = np.concatenate(
+                [pts_sensor, labels[:, None]], 1
+            ).astype(np.float32)
+            np.save(os.path.join(sdir, "scans", f"{i:06d}.npy"), scan)
+            np.savetxt(
+                os.path.join(sdir, "poses", f"{i:06d}.txt"), pose, delimiter=","
+            )
+    return root
