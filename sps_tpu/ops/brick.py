@@ -625,20 +625,48 @@ def brick_conv_down(
     *,
     mask_out: bool = True,
 ) -> jnp.ndarray:
-    """Kernel-2 stride-2 conv: assemble 8 children, reduce 2^3 windows.
+    """Kernel-2 stride-2 conv: per-child partial reductions.
+
+    Kernel-2 stride-2 windows never straddle a child-octant boundary
+    (both taps 2i+a of window i lie in the same child block for even bs),
+    so each child's (bs)^3 block reduces independently to the (bs/2)^3
+    output quadrant at its octant. The (2bs)^3 gather_children assembly
+    (two extra full-level HBM passes at L0 scale) is never materialized;
+    only the bs^3-sized output quadrants are concatenated.
 
     w_packed: (8, T*Cin, T*Cout) in OCT_OFFSETS order."""
     bs = occ_coarse.shape[1]
-    big = gather_children(fine_feats, child)  # (Bc, 2bs,2bs,2bs, TCin)
-    bc = big.shape[0]
-    tc = big.shape[-1]
-    x = big.reshape(bc, bs, 2, bs, 2, bs, 2, tc)
-    # out[i,j,k] = sum_{a,b,c} x[i,a,j,b,k,c] @ W[(a,b,c)]; the explicit
-    # 8-term loop keeps MXU-friendly (N, TC) @ (TC, TC') contractions.
-    acc = 0.0
-    for k2, (a, b2, c2) in enumerate(OCT_OFFSETS):
-        acc = acc + x[:, :, a, :, b2, :, c2, :] @ w_packed[k2]
-    return mask_bricks(acc, occ_coarse) if mask_out else acc
+    hs = bs // 2
+    bf = fine_feats.shape[0]
+    tc = fine_feats.shape[-1]
+    flat = fine_feats.reshape(bf, -1)
+    bc = child.shape[1]
+
+    def quad(k):
+        blk = take_rows(flat, child[k]).reshape(bc, hs, 2, hs, 2, hs, 2, tc)
+        acc = 0.0
+        for k2, (a, b2, c2) in enumerate(OCT_OFFSETS):
+            acc = acc + blk[:, :, a, :, b2, :, c2, :] @ w_packed[k2]
+        return acc  # (bc, hs, hs, hs, TCout)
+
+    q = [quad(k) for k in range(8)]
+
+    def cz(a, b):
+        return jnp.concatenate([a, b], axis=3)
+
+    def cy(a, b):
+        return jnp.concatenate([a, b], axis=2)
+
+    def cx(a, b):
+        return jnp.concatenate([a, b], axis=1)
+
+    # OCT_OFFSETS is x-slowest (index = 4a + 2b + c), matching
+    # gather_children's assembly order.
+    out = cx(
+        cy(cz(q[0], q[1]), cz(q[2], q[3])),
+        cy(cz(q[4], q[5]), cz(q[6], q[7])),
+    )
+    return mask_bricks(out, occ_coarse) if mask_out else out
 
 
 def brick_conv_up(
