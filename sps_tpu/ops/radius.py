@@ -94,6 +94,11 @@ def radius_join(
     offs = offs.reshape(10, 3, 3)
     scan_safe = jnp.where(scan_valid[:, None], scan, jnp.inf)
     r2 = jnp.float32(r * r)
+    # Candidate-slot-major layouts so every gather below is a fully packed
+    # 1-D row gather: (3M, P)/(3M, 3) row gathers tile-pad the minor dim
+    # to 128 lanes (16x/42x HBM expansion — OOM at dense-map scale).
+    lists_t = lists.T  # (P, cells)
+    sx_, sy_, sz_ = scan_safe[:, 0], scan_safe[:, 1], scan_safe[:, 2]
 
     def chunk(off_c):  # (3, 3) offsets
         q = jnp.concatenate(
@@ -105,11 +110,19 @@ def radius_join(
         ).reshape(3 * m, 4)
         qv = jnp.broadcast_to(query_valid[None, :], (3, m)).reshape(-1)
         cell_row = vhash.lookup(grid.table, q, qv)
-        cand = jnp.where(cell_row[:, None] >= 0, lists[jnp.clip(cell_row, 0)], -1)
-        pts = scan_safe[jnp.clip(cand, 0)]  # (3M, P, 3)
-        qrep = jnp.broadcast_to(queries[None], (3, m, 3)).reshape(3 * m, 1, 3)
-        d2 = jnp.sum((pts - qrep) ** 2, axis=-1)
-        near = jnp.any((d2 <= r2) & (cand >= 0), axis=-1)
+        safe_row = jnp.clip(cell_row, 0)
+        qx = jnp.broadcast_to(queries[None, :, 0], (3, m)).reshape(-1)
+        qy = jnp.broadcast_to(queries[None, :, 1], (3, m)).reshape(-1)
+        qz = jnp.broadcast_to(queries[None, :, 2], (3, m)).reshape(-1)
+        near = jnp.zeros((3 * m,), bool)
+        for p in range(max_per_cell):
+            cand = jnp.where(cell_row >= 0, lists_t[p][safe_row], -1)
+            cs = jnp.clip(cand, 0)
+            dx = sx_[cs] - qx
+            dy = sy_[cs] - qy
+            dz = sz_[cs] - qz
+            d2 = dx * dx + dy * dy + dz * dz
+            near = near | ((d2 <= r2) & (cand >= 0))
         return jnp.any(near.reshape(3, m), axis=0)
 
     near = jax.lax.map(chunk, offs)  # (10, M)
