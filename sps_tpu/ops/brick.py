@@ -685,18 +685,23 @@ def brick_conv_up(
     bf = occ_fine.shape[0]
     bs = occ_fine.shape[1]
     hs = bs // 2
+    bc = coarse_feats.shape[0]
     tcin = coarse_feats.shape[-1]
-    pblock = take_rows(coarse_feats.reshape(coarse_feats.shape[0], -1), parent)
-    pblock = pblock.reshape(bf, bs, bs, bs, tcin)  # 2D-row gather (see halo)
-    # Select the (bs/2)^3 octant sub-block; 8 static slices masked by oct.
-    sub = jnp.zeros((bf, hs, hs, hs, tcin), coarse_feats.dtype)
-    for a, b2, c2 in OCT_OFFSETS:
-        sel = (
-            (oct_[:, 0] == a) & (oct_[:, 1] == b2) & (oct_[:, 2] == c2)
-        ).astype(coarse_feats.dtype)
-        sub = sub + pblock[
+    # Gather ONLY the needed (bs/2)^3 octant sub-block per fine brick: the
+    # coarse level is pre-sliced into its 8 octant views stacked on axis 0
+    # (one extra coarse-level pass), then one flat 2D-row gather indexed by
+    # oct*Bc + parent fetches exactly sub — gathering whole parent blocks
+    # and mask-selecting afterwards moved 8x the bytes.
+    slabs = [
+        coarse_feats[
             :, hs * a : hs * (a + 1), hs * b2 : hs * (b2 + 1), hs * c2 : hs * (c2 + 1)
-        ] * sel[:, None, None, None, None]
+        ].reshape(bc, -1)
+        for a, b2, c2 in OCT_OFFSETS
+    ]
+    stack = jnp.concatenate(slabs, axis=0)  # (8*Bc, hs^3*TCin)
+    oct_id = (oct_[:, 0] * 2 + oct_[:, 1]) * 2 + oct_[:, 2]
+    idx = jnp.where(parent >= 0, oct_id * bc + parent, -1)
+    sub = take_rows(stack, idx).reshape(bf, hs, hs, hs, tcin)
     # Expand: fine[2i+a, 2j+b, 2k+c] = sub[i,j,k] @ W[(a,b,c)].
     tcout = w_packed.shape[-1]
     out = jnp.zeros((bf, bs, bs, bs, tcout), coarse_feats.dtype)
