@@ -105,8 +105,9 @@ class MapMOSNet(nn.Module):
             pooled = pooled3.reshape(pooled3.shape[0], -1)
         levels, overflow = build_levels_from_grid(grid, scfg)
         out = MinkUNet(scfg.unet, name="MinkUNet")(pooled, levels, train)
-        out3 = out.reshape(-1, 2, 1).astype(jnp.float32)
-        logits = vox.devoxelize(out3, p2s, pb.t)[:, 0]
+        logits = vox.devoxelize_flat(out, p2s, pb.t, num_time=2, channels=1)[
+            :, 0
+        ].astype(jnp.float32)
         return logits * pb.valid.astype(jnp.float32), {"overflow": overflow}
 
 

@@ -56,7 +56,8 @@ class MOS4DNet(nn.Module):
         occ0 = levels[0].grid.occ
         feats0 = 0.5 * jnp.repeat(occ0, 1, axis=-1)
         out = MinkUNet(scfg.unet, name="MinkUNet")(feats0, levels, train)
-        out3 = out.reshape(-1, self.cfg.n_scans, 3).astype(jnp.float32)
-        per_point = vox.devoxelize(out3, p2s, pb.t)
+        per_point = vox.devoxelize_flat(
+            out, p2s, pb.t, num_time=self.cfg.n_scans, channels=3
+        ).astype(jnp.float32)
         logits = per_point[:, 2] * pb.valid.astype(jnp.float32)
         return logits, {"overflow": overflow}

@@ -62,13 +62,28 @@ class SPSConfig:
 def build_levels_from_grid(grid, cfg: SPSConfig):
     """Topology pyramid from an existing stride-1 grid (any engine)."""
     if isinstance(grid, atl.AtlasGrid):
-        levels = atl.build_levels(
-            grid, num_levels=NUM_LEVELS, capacities=cfg.caps.bricks
-        )
-        if cfg.brick2_from is not None:
-            levels = atl.rebrick_levels(levels, cfg.brick2_from, cfg.caps.bricks2)
-        elif cfg.row_from is not None:
-            levels = atl.hybridize_levels(levels, cfg.row_from, cfg.caps.voxels)
+        if (
+            cfg.brick2_from is None
+            and cfg.row_from is not None
+            and cfg.row_from >= 3
+            and cfg.brick_side == 8
+        ):
+            # Side-8 identity: level-(k+3) voxels ARE level-k bricks, so
+            # the deep row levels alias shallow brick tables instead of
+            # being built (atl.alias_row_levels) — and the deep BRICK
+            # pyramid is never constructed.
+            levels = atl.build_levels(
+                grid, num_levels=cfg.row_from, capacities=cfg.caps.bricks
+            )
+            levels = atl.alias_row_levels(levels, NUM_LEVELS)
+        else:
+            levels = atl.build_levels(
+                grid, num_levels=NUM_LEVELS, capacities=cfg.caps.bricks
+            )
+            if cfg.brick2_from is not None:
+                levels = atl.rebrick_levels(levels, cfg.brick2_from, cfg.caps.bricks2)
+            elif cfg.row_from is not None:
+                levels = atl.hybridize_levels(levels, cfg.row_from, cfg.caps.voxels)
     elif isinstance(grid, bk.BrickGrid):
         levels = bk.build_brick_levels(
             grid, num_levels=NUM_LEVELS, capacities=cfg.caps.bricks
@@ -166,7 +181,8 @@ class SPSModel(nn.Module):
             cfg.unet.dtype
         )
         out = MinkUNet(cfg.unet, name="MinkUNet")(feats0, levels, train)
-        out3 = out.reshape(-1, t, cfg.unet.out_channels).astype(jnp.float32)
-        per_point = vox.devoxelize(out3, p2v, t_idx)[:, 0]
+        per_point = vox.devoxelize_flat(
+            out, p2v, t_idx, num_time=t, channels=cfg.unet.out_channels
+        )[:, 0].astype(jnp.float32)
         scores = nn.sigmoid(per_point) * valid.astype(per_point.dtype)
         return scores, {"overflow": overflow, "point2voxel": p2v}

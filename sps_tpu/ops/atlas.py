@@ -354,6 +354,101 @@ def _row_compact(occ_any_flat: jnp.ndarray, capacity: int):
 
 
 
+def alias_row_levels(levels: list, num_levels: int) -> list:
+    """RowLevels for levels >= len(levels), ALIASED to shallow brick levels.
+
+    For side-8 bricks, a level-(k+3) voxel (stride 2^(k+3)) covers exactly
+    one level-k brick (a 2^k*8-voxel cube), so the deep level's row
+    topology IS the shallow level's brick topology:
+
+      * rows       := level-k brick rows (same compaction, same order)
+      * occ[v, t]  := any(level-k brick occ[..., t])   (one reduce)
+      * nbr27      := levels[k].nbr27                  (verbatim)
+      * parent     := levels[k].parent, parity from levels[k].oct
+      * child (deeper row levels) := levels[k].child   (verbatim)
+
+    This replaces hybridize_levels' per-row builds (two 27*V-row gathers
+    plus scatter inversions per level — ~8 ms/scan of the topology stage
+    at BLT scale, the s32-gather wall of docs/DESIGN.md §4) with pure
+    reuse of tables the brick levels already built. Callers build only
+    `row_from` brick levels (build_levels(num_levels=row_from)) — the
+    deep BRICK pyramid (downsample + neighbor tables at L3/L4) is never
+    constructed at all.
+
+    `levels`: the brick levels [0, row_from) — row_from must be >= 3 and
+    the bricks side 8. Returns the full mixed pyramid of num_levels.
+    """
+    row_from = len(levels)
+    assert row_from >= 3, "aliasing needs level k-3 to exist as bricks"
+    assert levels[0].grid.occ.shape[1] == 8, "aliasing is a side-8 identity"
+    out: list = list(levels)
+    octs = jnp.asarray(np.asarray(bk.OCT_OFFSETS), jnp.int32)  # (8, 3)
+
+    for li in range(row_from, num_levels):
+        k = li - 3
+        src = levels[k]
+        bcap = src.grid.occ.shape[0]
+        occ_rows = jnp.max(src.grid.occ, axis=(1, 2, 3))  # (B, T)
+
+        if li == row_from:
+            # Children live in the (row_from-1) BRICK level: the 2^3
+            # stride-halved voxels of row i sit in brick
+            # grandparent^2(i) (level k+2 == li-1) at local octant
+            # 4*oct(k+1) + 2*oct(k) + delta per axis.
+            p1 = src.parent
+            l1 = levels[k + 1]
+            gp = jnp.where(p1 >= 0, l1.parent[jnp.clip(p1, 0)], EMPTY)
+            o1 = l1.oct[jnp.clip(p1, 0)]
+            base = o1 * 4 + src.oct * 2  # (B, 3)
+            loc = base[None, :, :] + octs[:, None, :]  # (8, B, 3)
+            fl = (loc[..., 0] * 8 + loc[..., 1]) * 8 + loc[..., 2]
+            child = jnp.where(gp[None, :] >= 0, gp[None, :] * 512 + fl, EMPTY)
+        else:
+            child = src.child  # fine rows ARE level k-1's brick rows
+
+        parent = src.parent if li + 1 < num_levels else None
+        parity = (
+            (src.oct[:, 0] * 2 + src.oct[:, 1]) * 2 + src.oct[:, 2]
+            if li + 1 < num_levels
+            else None
+        )
+        out.append(
+            RowLevel(
+                grid=RowGrid(
+                    occ=occ_rows,
+                    num_rows=src.grid.num_bricks,
+                    overflow=src.grid.overflow,
+                ),
+                nbr27=src.nbr27,
+                # Rows alias level-k bricks; there is no same-level brick
+                # form, so the brick/slot decomposition is the identity.
+                brick_of_row=jnp.arange(bcap, dtype=jnp.int32),
+                lflat_of_row=jnp.zeros((bcap,), jnp.int32),
+                child=child,
+                parent=parent,
+                parity=parity,
+            )
+        )
+
+    # Boundary: the fine BrickLevel (row_from-1) needs the (4,4,4) block
+    # of first-row-level rows covering each brick, for its transpose
+    # conv. Row rows are level-(row_from-3) brick rows: chain two stored
+    # child tables (level f -> f-1 -> f-2) and interleave octants.
+    f = row_from - 1
+    fb = levels[f]
+    bcap_f = fb.grid.occ.shape[0]
+    c1 = levels[f].child  # (8, Bf) -> level f-1 rows
+    c0 = levels[f - 1].child  # (8, Bf-1) -> level f-2 rows
+    g = jnp.where(c1[None, :, :] >= 0, c0[:, jnp.clip(c1, 0)], EMPTY)
+    # g[j0, j1, b]: delta = 2*oct(j1) + oct(j0) per axis, OCT x-slowest.
+    g = g.reshape(2, 2, 2, 2, 2, 2, bcap_f)  # (a0,b0,c0, a1,b1,c1, B)
+    parent_rows = jnp.transpose(g, (6, 3, 0, 4, 1, 5, 2)).reshape(
+        bcap_f, 4, 4, 4
+    )
+    out[f] = fb._replace(parent_rows=parent_rows)
+    return out
+
+
 def hybridize_levels(
     levels: list, row_from: int, row_caps: tuple
 ) -> list:

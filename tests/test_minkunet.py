@@ -251,6 +251,35 @@ def test_hybrid_row_levels_match_gather_engine():
         )
 
 
+def test_aliased_row_levels_match_gather_engine():
+    """The side-8 aliased deep levels (atlas.alias_row_levels: level-(k+3)
+    voxels ARE level-k bricks, so L3/L4 topology is reused verbatim from
+    L0/L1 instead of being built) must score identically to the gather
+    oracle. This is the flagship streaming configuration."""
+    import dataclasses
+
+    rng = np.random.default_rng(29)
+    pb = _batch(rng, 500)
+    for row_from in (3, 4):
+        cfg_h = dataclasses.replace(
+            CFG,
+            engine="atlas",
+            brick_side=8,
+            atlas_extent=(2, 24, 24, 24),
+            row_from=row_from,
+        )
+        model_g = SPSModel(CFG)
+        model_h = SPSModel(cfg_h)
+        variables = model_g.init(jax.random.PRNGKey(0), pb)
+        sg, _ = jax.jit(lambda v, b: model_g.apply(v, b))(variables, pb)
+        sh, auxh = jax.jit(lambda v, b, m=model_h: m.apply(v, b))(variables, pb)
+        assert not bool(np.asarray(auxh["overflow"]).any()), f"row_from={row_from}"
+        np.testing.assert_allclose(
+            np.asarray(sh), np.asarray(sg), rtol=2e-3, atol=2e-4,
+            err_msg=f"aliased row_from={row_from}",
+        )
+
+
 def test_brick2_deep_levels_match_gather_engine():
     """Side-2 re-bricked deep levels (atlas.rebrick_levels) must score
     identically to the gather oracle — same convolution, packed 2^3."""
