@@ -61,6 +61,14 @@ class MinkUNetConfig:
     # only where channels are tiny (L0: 16-32 of 128 lanes). Deeper levels
     # run the plain dense-brick conv ("halo" assembly).
     zband_levels: int = 1
+    # Spatial sharding (parallel/spatial.py): name of the mesh axis over
+    # which the brick/row dimension of every level is sharded. When set,
+    # activations flow between convs as device-LOCAL blocks; each conv
+    # all-gathers its input over this axis (the gather sources are global
+    # row ids) and computes only its local output block, and BatchNorm
+    # psums its moments. The point-cloud analog of sequence parallelism
+    # (SURVEY.md §5). None = single-device layout.
+    sp_axis: str | None = None
 
 
 def _kaiming(key, shape, dtype=jnp.float32):
@@ -121,6 +129,7 @@ class MaskedBatchNorm(nn.Module):
     features: int
     momentum: float = 0.1
     eps: float = 1e-5
+    sp_axis: str | None = None  # see MinkUNetConfig.sp_axis
 
     @nn.compact
     def __call__(self, feats: jnp.ndarray, occ: jnp.ndarray, train: bool):
@@ -137,8 +146,20 @@ class MaskedBatchNorm(nn.Module):
 
         if train:
             f2 = feats.reshape(-1, shp[-1]).astype(jnp.float32)
-            mean, var = sc.masked_batch_stats(f2, o2)
-            cnt = jnp.maximum(jnp.sum(o2, dtype=jnp.float32), 2.0)
+            if self.sp_axis is None:
+                mean, var = sc.masked_batch_stats(f2, o2)
+                cnt = jnp.maximum(jnp.sum(o2, dtype=jnp.float32), 2.0)
+            else:
+                # Spatially sharded: feats/occ are the device-local brick
+                # block; moments are additive, so one psum yields the
+                # global statistics every shard normalizes with.
+                import jax
+
+                s1, s2, n = sc.masked_batch_moments(f2, o2)
+                s1, s2, n = jax.lax.psum((s1, s2, n), self.sp_axis)
+                cnt = jnp.maximum(n, 2.0)
+                mean = s1 / jnp.maximum(n, 1.0)
+                var = jnp.maximum(s2 / jnp.maximum(n, 1.0) - mean**2, 0.0)
             unbiased = var * cnt / (cnt - 1.0)
             if not self.is_initializing():
                 m = self.momentum
@@ -178,12 +199,22 @@ class SpConv(nn.Module):
     # False elides the output mask when a MaskedBatchNorm follows (the BN
     # re-masks; saves one full-tensor pass per conv — see docs/DESIGN.md).
     mask_out: bool = True
+    sp_axis: str | None = None  # see MinkUNetConfig.sp_axis
 
     @nn.compact
     def __call__(self, feats, lvl, occ):
         k = self.ksize**3
         w = self.param("kernel", _kaiming, (k, self.time_kernel, self.cin, self.cout))
         w = w.astype(feats.dtype)
+        center = None
+        if self.sp_axis is not None and self.ksize > 1:
+            # Input is the device-local block; gather sources are global
+            # row ids, so assemble the full level over the sp axis. The
+            # local block stays as the halo center (its own output domain).
+            import jax
+
+            center = feats
+            feats = jax.lax.all_gather(feats, self.sp_axis, axis=0, tiled=True)
         if self.ksize == 1:
             bias = (
                 self.param("bias", nn.initializers.zeros, (self.cout,))
@@ -209,13 +240,15 @@ class SpConv(nn.Module):
             wd = bk.pack_dense_kernel(w, self.num_time)
             if feats.ndim == 4:
                 return bk.brick_conv_zband(
-                    feats, lvl.nbr27, wd, occ, mask_out=self.mask_out
+                    feats, lvl.nbr27, wd, occ, mask_out=self.mask_out,
+                    center=center,
                 )
             # Unfolded levels under conv_mode="zband" use the halo assembly
             # (the measured-best dense-brick formulation at wide channels).
             mode = "halo" if self.conv_mode == "zband" else self.conv_mode
             return bk.brick_conv(
-                feats, lvl.nbr27, wd, occ, mode, mask_out=self.mask_out
+                feats, lvl.nbr27, wd, occ, mode, mask_out=self.mask_out,
+                center=center,
             )
         wp = sc.pack_time_toeplitz(w, self.num_time)
         if _is_row(lvl):
@@ -236,12 +269,18 @@ class SpConvDown(nn.Module):
     num_time: int
     fold_out: bool = False  # return z-folded (target level is zband-folded)
     mask_out: bool = True  # see SpConv.mask_out
+    sp_axis: str | None = None  # see MinkUNetConfig.sp_axis
 
     @nn.compact
     def __call__(self, feats, coarse_lvl):
         w = self.param("kernel", _kaiming, (8, 1, self.cin, self.cout))
         wp = sc.pack_time_toeplitz(w.astype(feats.dtype), self.num_time)
         occ = occ_of(coarse_lvl)
+        if self.sp_axis is not None:
+            # child tables hold global fine rows; assemble the fine level.
+            import jax
+
+            feats = jax.lax.all_gather(feats, self.sp_axis, axis=0, tiled=True)
         if _is_brick(coarse_lvl):
             fin = feats
             if feats.ndim == 4:  # z-folded source level: unfold for gather
@@ -282,12 +321,19 @@ class SpConvUp(nn.Module):
     num_time: int
     fold_out: bool = False  # return z-folded (target level is zband-folded)
     mask_out: bool = True  # see SpConv.mask_out
+    sp_axis: str | None = None  # see MinkUNetConfig.sp_axis
 
     @nn.compact
     def __call__(self, feats, fine_lvl):
         w = self.param("kernel", _kaiming, (8, 1, self.cin, self.cout))
         wp = sc.pack_time_toeplitz(w.astype(feats.dtype), self.num_time)
         occ = occ_of(fine_lvl)
+        if self.sp_axis is not None:
+            # parent tables hold global coarse rows; assemble the coarse
+            # level before the octant-selected pull.
+            import jax
+
+            feats = jax.lax.all_gather(feats, self.sp_axis, axis=0, tiled=True)
         if _is_brick(fine_lvl):
             if fine_lvl.parent_rows is not None:
                 # Representation boundary: coarse side is rows (2-D feats)
@@ -320,6 +366,7 @@ class BasicBlock(nn.Module):
     num_time: int
     block_kernel: int = 3
     conv_mode: str = "region"
+    sp_axis: str | None = None  # see MinkUNetConfig.sp_axis
 
     @nn.compact
     def __call__(self, feats, lvl, occ, train: bool):
@@ -330,6 +377,7 @@ class BasicBlock(nn.Module):
         # (phantom slots exactly zero) throughout — required by the
         # halo/neighbor gathers.
         t = self.num_time
+        sp = self.sp_axis
         out = SpConv(
             self.cin,
             self.planes,
@@ -338,9 +386,10 @@ class BasicBlock(nn.Module):
             t,
             conv_mode=self.conv_mode,
             mask_out=False,
+            sp_axis=sp,
             name="conv1",
         )(feats, lvl, occ)
-        out = MaskedBatchNorm(self.planes, name="norm1")(out, occ, train)
+        out = MaskedBatchNorm(self.planes, sp_axis=sp, name="norm1")(out, occ, train)
         out = nn.relu(out)
         out = SpConv(
             self.planes,
@@ -350,21 +399,27 @@ class BasicBlock(nn.Module):
             t,
             conv_mode=self.conv_mode,
             mask_out=False,
+            sp_axis=sp,
             name="conv2",
         )(out, lvl, occ)
-        out = MaskedBatchNorm(self.planes, name="norm2")(out, occ, train)
+        out = MaskedBatchNorm(self.planes, sp_axis=sp, name="norm2")(out, occ, train)
         if self.cin != self.planes:
             res = SpConv(
-                self.cin, self.planes, 1, 1, t, mask_out=False,
+                self.cin, self.planes, 1, 1, t, mask_out=False, sp_axis=sp,
                 name="downsample_conv",
             )(feats, lvl, occ)
-            res = MaskedBatchNorm(self.planes, name="downsample_norm")(res, occ, train)
+            res = MaskedBatchNorm(self.planes, sp_axis=sp, name="downsample_norm")(
+                res, occ, train
+            )
         else:
             res = feats
         return nn.relu(out + res)
 
 
-def _blocks(name, n, cin, planes, num_time, block_kernel=3, conv_mode="region"):
+def _blocks(
+    name, n, cin, planes, num_time, block_kernel=3, conv_mode="region",
+    sp_axis=None,
+):
     mods = []
     for i in range(n):
         mods.append(
@@ -374,6 +429,7 @@ def _blocks(name, n, cin, planes, num_time, block_kernel=3, conv_mode="region"):
                 num_time,
                 block_kernel,
                 conv_mode,
+                sp_axis,
                 name=f"{name}_{i}",
             )
         )
@@ -422,66 +478,69 @@ class MinkUNet(nn.Module):
             t,
             conv_mode=cfg.conv_mode,
             mask_out=False,
+            sp_axis=cfg.sp_axis,
             name="conv0p1s1",
         )(
             feats, l0, occ[0]
         )
-        x = MaskedBatchNorm(d0, name="bn0")(x, occ[0], train)
+        x = MaskedBatchNorm(d0, sp_axis=cfg.sp_axis, name="bn0")(x, occ[0], train)
         out_p1 = relu(x, occ[0])
 
         # Encoder.
         def down(x, name, cin, cout, coarse, bnname, occ_c, fold_out):
             y = SpConvDown(
-                cin, cout, t, fold_out=fold_out, mask_out=False, name=name
+                cin, cout, t, fold_out=fold_out, mask_out=False,
+                sp_axis=cfg.sp_axis, name=name
             )(x, coarse)
-            y = MaskedBatchNorm(cout, name=bnname)(y, occ_c, train)
+            y = MaskedBatchNorm(cout, sp_axis=cfg.sp_axis, name=bnname)(y, occ_c, train)
             return relu(y, occ_c)
 
         x = down(out_p1, "conv1p1s2", d0, d0, l1, "bn1", occ[1], fold[1])
-        for b in _blocks("block1", cfg.layers[0], d0, p[0], t, cfg.block_kernel, cfg.conv_mode):
+        for b in _blocks("block1", cfg.layers[0], d0, p[0], t, cfg.block_kernel, cfg.conv_mode, cfg.sp_axis):
             x = b(x, l1, occ[1], train)
         out_b1p2 = x
 
         x = down(x, "conv2p2s2", p[0], p[0], l2, "bn2", occ[2], fold[2])
-        for b in _blocks("block2", cfg.layers[1], p[0], p[1], t, cfg.block_kernel, cfg.conv_mode):
+        for b in _blocks("block2", cfg.layers[1], p[0], p[1], t, cfg.block_kernel, cfg.conv_mode, cfg.sp_axis):
             x = b(x, l2, occ[2], train)
         out_b2p4 = x
 
         x = down(x, "conv3p4s2", p[1], p[1], l3, "bn3", occ[3], fold[3])
-        for b in _blocks("block3", cfg.layers[2], p[1], p[2], t, cfg.block_kernel, cfg.conv_mode):
+        for b in _blocks("block3", cfg.layers[2], p[1], p[2], t, cfg.block_kernel, cfg.conv_mode, cfg.sp_axis):
             x = b(x, l3, occ[3], train)
         out_b3p8 = x
 
         x = down(x, "conv4p8s2", p[2], p[2], l4, "bn4", occ[4], fold[4])
-        for b in _blocks("block4", cfg.layers[3], p[2], p[3], t, cfg.block_kernel, cfg.conv_mode):
+        for b in _blocks("block4", cfg.layers[3], p[2], p[3], t, cfg.block_kernel, cfg.conv_mode, cfg.sp_axis):
             x = b(x, l4, occ[4], train)
 
         # Decoder (minkunet.py:107-158,188-217).
         def up(x, name, cin, cout, fine, bnname, occ_f, fold_out):
             y = SpConvUp(
-                cin, cout, t, fold_out=fold_out, mask_out=False, name=name
+                cin, cout, t, fold_out=fold_out, mask_out=False,
+                sp_axis=cfg.sp_axis, name=name
             )(x, fine)
-            y = MaskedBatchNorm(cout, name=bnname)(y, occ_f, train)
+            y = MaskedBatchNorm(cout, sp_axis=cfg.sp_axis, name=bnname)(y, occ_f, train)
             return relu(y, occ_f)
 
         x = up(x, "convtr4p16s2", p[3], p[4], l3, "bntr4", occ[3], fold[3])
         x = cat_time(x, out_b3p8, t)
-        for b in _blocks("block5", cfg.layers[4], p[4] + p[2], p[4], t, cfg.block_kernel, cfg.conv_mode):
+        for b in _blocks("block5", cfg.layers[4], p[4] + p[2], p[4], t, cfg.block_kernel, cfg.conv_mode, cfg.sp_axis):
             x = b(x, l3, occ[3], train)
 
         x = up(x, "convtr5p8s2", p[4], p[5], l2, "bntr5", occ[2], fold[2])
         x = cat_time(x, out_b2p4, t)
-        for b in _blocks("block6", cfg.layers[5], p[5] + p[1], p[5], t, cfg.block_kernel, cfg.conv_mode):
+        for b in _blocks("block6", cfg.layers[5], p[5] + p[1], p[5], t, cfg.block_kernel, cfg.conv_mode, cfg.sp_axis):
             x = b(x, l2, occ[2], train)
 
         x = up(x, "convtr6p4s2", p[5], p[6], l1, "bntr6", occ[1], fold[1])
         x = cat_time(x, out_b1p2, t)
-        for b in _blocks("block7", cfg.layers[6], p[6] + p[0], p[6], t, cfg.block_kernel, cfg.conv_mode):
+        for b in _blocks("block7", cfg.layers[6], p[6] + p[0], p[6], t, cfg.block_kernel, cfg.conv_mode, cfg.sp_axis):
             x = b(x, l1, occ[1], train)
 
         x = up(x, "convtr7p2s2", p[6], p[7], l0, "bntr7", occ[0], fold[0])
         x = cat_time(x, out_p1, t)
-        for b in _blocks("block8", cfg.layers[7], p[7] + d0, p[7], t, cfg.block_kernel, cfg.conv_mode):
+        for b in _blocks("block8", cfg.layers[7], p[7] + d0, p[7], t, cfg.block_kernel, cfg.conv_mode, cfg.sp_axis):
             x = b(x, l0, occ[0], train)
 
         # Head: 1x1 conv with bias (minkunet.py:152-158).

@@ -175,12 +175,24 @@ class SPSModel(nn.Module):
             t_idx, valid = pb.t, pb.valid
         else:
             levels, overflow = build_levels_from_grid(grid, cfg)
+        if cfg.unet.sp_axis is not None:
+            # Spatially sharded (parallel/spatial.py): topology above ran
+            # replicated on every device; from here on each device works
+            # its contiguous block of every level's brick/row axis, and
+            # the convs all-gather their inputs over the sp axis.
+            from sps_tpu.parallel import spatial as sp_mod
+
+            levels = sp_mod.slice_levels(levels, cfg.unet.sp_axis)
         # Constant 0.5 input feature on occupied slots (models.py:22).
         occ0 = levels[0].grid.occ
         feats0 = (0.5 * jnp.repeat(occ0, cfg.unet.in_channels, axis=-1)).astype(
             cfg.unet.dtype
         )
         out = MinkUNet(cfg.unet, name="MinkUNet")(feats0, levels, train)
+        if cfg.unet.sp_axis is not None:
+            import jax
+
+            out = jax.lax.all_gather(out, cfg.unet.sp_axis, axis=0, tiled=True)
         per_point = vox.devoxelize_flat(
             out, p2v, t_idx, num_time=t, channels=cfg.unet.out_channels
         )[:, 0].astype(jnp.float32)

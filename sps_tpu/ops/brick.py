@@ -339,12 +339,21 @@ def _src_dst(d: int, pad: int, bs: int):
     return slice(0, pad), slice(pad + bs, n)
 
 
-def halo(feats: jnp.ndarray, nbr27: jnp.ndarray, pad: int) -> jnp.ndarray:
-    """(B, bs,bs,bs, C) -> (B, bs+2p, bs+2p, bs+2p, C): direct 26-neighbor
+def halo(
+    feats: jnp.ndarray, nbr27: jnp.ndarray, pad: int,
+    center: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """(B, bs,bs,bs, C) -> (B', bs+2p, bs+2p, bs+2p, C): direct 26-neighbor
     assembly. The source array is statically sliced BEFORE the row gather
     so each neighbor contributes only its face/edge/corner bytes (a
     separable/chained assembly would be cheaper but drops diagonal
     contributions whenever the intermediate face brick is absent).
+
+    `center`: the output-domain block of feats (defaults to feats itself).
+    Under spatial sharding (parallel/spatial.py) nbr27 holds only the
+    device-local output bricks' columns while feats is the all-gathered
+    full level, so the center slab — which is NOT fetched through nbr27 —
+    must be passed as the local block explicitly. B' = nbr27.shape[1].
 
     Gather formulation (measured on v5e at B=12k, bs=8, C=32): gathers of
     multi-dim rows run ~5x slower than the same bytes as flat 2D rows, and
@@ -356,6 +365,8 @@ def halo(feats: jnp.ndarray, nbr27: jnp.ndarray, pad: int) -> jnp.ndarray:
     .at[].set form cost 26 full-tensor copy passes)."""
     b, bs, _, _, c = feats.shape
     assert 1 <= pad <= bs
+    if center is None:
+        center = feats
 
     def spans(dx, dy, dz):
         sx, _ = _src_dst(dx, pad, bs)
@@ -369,6 +380,7 @@ def halo(feats: jnp.ndarray, nbr27: jnp.ndarray, pad: int) -> jnp.ndarray:
             continue
         classes[abs(dx) + abs(dy) + abs(dz)].append((k, dx, dy, dz))
 
+    bout = nbr27.shape[1]
     pieces: dict[int, jnp.ndarray] = {}
     for items in classes.values():
         srcs = []
@@ -386,12 +398,12 @@ def halo(feats: jnp.ndarray, nbr27: jnp.ndarray, pad: int) -> jnp.ndarray:
         # alone was ~8 ms/scan at BLT scale).
         zrow = jnp.zeros((1, srcs[0].shape[1]), feats.dtype)
         stack = jnp.concatenate(srcs + [zrow], axis=0)  # (len*b+1, L)
-        idx = jnp.stack(idxs)  # (len, b)
+        idx = jnp.stack(idxs)  # (len, bout)
         off = (jnp.arange(len(items), dtype=jnp.int32) * b)[:, None]
         flat_idx = jnp.where(idx >= 0, idx + off, len(items) * b).reshape(-1)
-        g = stack[flat_idx].reshape(len(items), b, -1)
+        g = stack[flat_idx].reshape(len(items), bout, -1)
         for i, (k, dx, dy, dz) in enumerate(items):
-            pieces[k] = g[i].reshape((b,) + shapes[i])
+            pieces[k] = g[i].reshape((bout,) + shapes[i])
 
     k = 0
     xs = []
@@ -400,7 +412,7 @@ def halo(feats: jnp.ndarray, nbr27: jnp.ndarray, pad: int) -> jnp.ndarray:
         for dy in (-1, 0, 1):
             zs = []
             for dz in (-1, 0, 1):
-                zs.append(feats if (dx, dy, dz) == (0, 0, 0) else pieces[k])
+                zs.append(center if (dx, dy, dz) == (0, 0, 0) else pieces[k])
                 k += 1
             ys.append(jnp.concatenate(zs, axis=3))
         xs.append(jnp.concatenate(ys, axis=2))
@@ -423,15 +435,21 @@ def unfold_z(zfeats: jnp.ndarray, tc: int) -> jnp.ndarray:
     return zfeats.reshape(b, bs, bs, bs, tc)
 
 
-def halo_z(zfeats: jnp.ndarray, nbr27: jnp.ndarray, pad: int, tc: int) -> jnp.ndarray:
-    """z-folded halo: (B, bs, bs, bs*TC) -> (B, bs+2p, bs+2p, (bs+2p)*TC).
+def halo_z(
+    zfeats: jnp.ndarray, nbr27: jnp.ndarray, pad: int, tc: int,
+    center: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """z-folded halo: (B, bs, bs, bs*TC) -> (B', bs+2p, bs+2p, (bs+2p)*TC).
 
     Same 26-neighbor assembly and 3-gather grouping as `halo` (see its
-    docstring for the measured rationale), but z slab selection and the
-    final z concatenation happen on the folded channel axis, so the
-    pieces and the result keep lane-tile-aligned minor dims throughout."""
+    docstring for the measured rationale and the `center` contract), but z
+    slab selection and the final z concatenation happen on the folded
+    channel axis, so the pieces and the result keep lane-tile-aligned
+    minor dims throughout."""
     b, bs = zfeats.shape[0], zfeats.shape[1]
     assert 1 <= pad <= bs
+    if center is None:
+        center = zfeats
 
     def span(d):
         s, _ = _src_dst(d, pad, bs)
@@ -443,6 +461,7 @@ def halo_z(zfeats: jnp.ndarray, nbr27: jnp.ndarray, pad: int, tc: int) -> jnp.nd
             continue
         classes[abs(dx) + abs(dy) + abs(dz)].append((k, dx, dy, dz))
 
+    bout = nbr27.shape[1]
     pieces: dict[int, jnp.ndarray] = {}
     for items in classes.values():
         srcs = []
@@ -460,9 +479,9 @@ def halo_z(zfeats: jnp.ndarray, nbr27: jnp.ndarray, pad: int, tc: int) -> jnp.nd
         idx = jnp.stack(idxs)
         off = (jnp.arange(len(items), dtype=jnp.int32) * b)[:, None]
         flat_idx = jnp.where(idx >= 0, idx + off, len(items) * b).reshape(-1)
-        g = stack[flat_idx].reshape(len(items), b, -1)
+        g = stack[flat_idx].reshape(len(items), bout, -1)
         for i, (k, dx, dy, dz) in enumerate(items):
-            pieces[k] = g[i].reshape((b,) + shapes[i])
+            pieces[k] = g[i].reshape((bout,) + shapes[i])
 
     k = 0
     xs = []
@@ -471,7 +490,7 @@ def halo_z(zfeats: jnp.ndarray, nbr27: jnp.ndarray, pad: int, tc: int) -> jnp.nd
         for dy in (-1, 0, 1):
             zs = []
             for dz in (-1, 0, 1):
-                zs.append(zfeats if (dx, dy, dz) == (0, 0, 0) else pieces[k])
+                zs.append(center if (dx, dy, dz) == (0, 0, 0) else pieces[k])
                 k += 1
             ys.append(jnp.concatenate(zs, axis=3))
         xs.append(jnp.concatenate(ys, axis=2))
@@ -501,18 +520,20 @@ def brick_conv_zband(
     occz: jnp.ndarray,
     *,
     mask_out: bool = True,
+    center: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Stride-1 sparse conv in the z-folded layout: assemble the folded
     halo and run ONE 2D conv whose channel axes carry z (pack_zband_kernel).
 
-    zfeats: (B, bs, bs, bs*TCin); occz: (B, bs, bs, bs*T) folded occupancy.
-    Returns (B, bs, bs, bs*TCout) — output stays folded, so the masks, BN,
-    residual adds and skip concats that follow never pay a layout copy."""
+    zfeats: (B, bs, bs, bs*TCin); occz: (B', bs, bs, bs*T) folded occupancy.
+    Returns (B', bs, bs, bs*TCout) — output stays folded, so the masks, BN,
+    residual adds and skip concats that follow never pay a layout copy.
+    `center`: local output-domain block of zfeats (see halo)."""
     k = w_dense.shape[0]
     pad = k // 2
     bs = zfeats.shape[1]
     tcin = zfeats.shape[-1] // bs
-    h = halo_z(zfeats, nbr27, pad, tcin)
+    h = halo_z(zfeats, nbr27, pad, tcin, center=center)
     wz = pack_zband_kernel(w_dense, bs, pad)
     out = jax.lax.conv_general_dilated(
         h,
@@ -569,6 +590,7 @@ def brick_conv(
     mode: str = "region",
     *,
     mask_out: bool = True,
+    center: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Stride-1 sparse conv as dense 3D conv over halo blocks.
 
@@ -582,17 +604,20 @@ def brick_conv(
     halo tensor. mode="halo": materialize the concat-assembled halo and
     run one VALID conv — ~3x fewer HLO ops (faster compiles), more HBM
     traffic. Larger kernels (the 5^3 stem) always use the halo path.
+
+    `center`: local output-domain block of feats (see halo); under
+    spatial sharding nbr27/occ cover only the local bricks.
     """
     k = w_dense.shape[0]
     bs = feats.shape[1]
     pad = k // 2
     if k != 3 or mode == "halo":
-        h = halo(feats, nbr27, pad)
+        h = halo(feats, nbr27, pad, center=center)
         out = _conv3d(h, w_dense, "VALID").astype(feats.dtype)
         return mask_bricks(out, occ) if mask_out else out
 
     # Center contribution: SAME conv within the brick.
-    out = _conv3d(feats, w_dense, "SAME")
+    out = _conv3d(feats if center is None else center, w_dense, "SAME")
     # Neighbor-region contributions. Accumulated via zero-pad + add (NOT
     # .at[].add: each dynamic-update-slice materializes a full copy of
     # `out`; pads fuse into one accumulation fusion).

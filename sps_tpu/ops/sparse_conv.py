@@ -213,3 +213,21 @@ def masked_batch_stats(
     mean = jnp.sum(x * w, axis=(0, 1)) / cnt
     var = jnp.sum(w * (x - mean) ** 2, axis=(0, 1)) / cnt
     return mean, var
+
+
+def masked_batch_moments(
+    feats: jnp.ndarray, occ: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-channel raw moments over real slots: (sum, sum-of-squares,
+    count). Unlike masked_batch_stats these are ADDITIVE across shards, so
+    a spatially-sharded BatchNorm psums them over the device axis and then
+    forms mean = s1/n, var = s2/n - mean^2 (parallel/spatial.py)."""
+    v, tc = feats.shape
+    t = occ.shape[1]
+    c = tc // t
+    x = feats.reshape(v, t, c)
+    w = occ.astype(feats.dtype)[:, :, None]
+    s1 = jnp.sum(x * w, axis=(0, 1))
+    s2 = jnp.sum(x * x * w, axis=(0, 1))
+    cnt = jnp.sum(w, dtype=jnp.float32).astype(feats.dtype)
+    return s1, s2, cnt

@@ -13,9 +13,11 @@ shard_map over an ICI mesh:
   * params, optimizer state, and the point-cloud map are replicated.
   * batch_stats are pmean'd like gradients so devices never diverge.
 
-Spatial sharding of the voxel hash (the point-cloud analog of sequence
-parallelism, SURVEY.md §5) is the planned second axis; single-scan compute
-fits comfortably in one chip's HBM for BLT/NCLT scale.
+  * axis "sp" (optional second mesh dim): each sample's brick/row axis is
+    additionally block-partitioned across devices — spatial sharding, the
+    point-cloud analog of sequence parallelism (parallel/spatial.py).
+    Single-scan compute fits one chip's HBM at BLT/NCLT scale; sp is the
+    seam for city-scale maps and dense multi-scan batches.
 """
 
 from __future__ import annotations
@@ -47,13 +49,22 @@ def make_dp_train_step(cfg, mesh: Mesh, augment: bool = True):
     Host batch arrays are (B, ...) with B divisible by mesh size; they are
     sharded over "dp". Returns step(state, batch, map_points, rngs) where
     rngs is one PRNG key per device (jax.random.split(key, B)).
+
+    If the mesh also has an "sp" axis, each dp row's samples are
+    additionally spatially sharded over it (parallel/spatial.py): the
+    brick/row axis of every pyramid level is block-partitioned, convs
+    all-gather activations over sp, and weight gradients are psum'd over
+    sp before the dp pmean.
     """
     from sps_tpu import train as tr
+
+    sp_axis = "sp" if "sp" in mesh.axis_names else None
 
     def local(state, batch, map_points, rngs):
         rng = rngs[0]
         return tr.grad_step(
-            state, batch, map_points, rng, cfg=cfg, augment=augment, axis_name="dp"
+            state, batch, map_points, rng, cfg=cfg, augment=augment,
+            axis_name="dp", sp_axis=sp_axis,
         )
 
     smapped = shard_map(
@@ -67,7 +78,9 @@ def make_dp_train_step(cfg, mesh: Mesh, augment: bool = True):
 
 
 def dryrun(n_devices: int) -> None:
-    """One tiny data-parallel training step on an n_devices mesh."""
+    """One tiny training step on an n_devices mesh — 2-D dp x sp (data
+    parallel over samples, spatial parallel over each sample's brick axis)
+    when n_devices allows, else pure dp."""
     import dataclasses
 
     import sps_tpu.config as cfg_mod
@@ -93,11 +106,22 @@ def dryrun(n_devices: int) -> None:
             row_from=3,
         ),
     )
-    mesh = make_mesh(n_devices)
+    if n_devices >= 4 and n_devices % 2 == 0:
+        # 2-D mesh: data parallel x spatial parallel (the workload's two
+        # meaningful axes — there is no sequence dim, and channels are far
+        # too narrow for tensor parallelism; see docs/DESIGN.md).
+        n_dp, n_sp = 2, n_devices // 2
+        mesh = Mesh(
+            np.asarray(jax.devices()[:n_devices]).reshape(n_dp, n_sp),
+            ("dp", "sp"),
+        )
+    else:
+        n_dp = n_devices
+        mesh = make_mesh(n_devices)
     rng = jax.random.PRNGKey(0)
     state = tr.create_state(cfg, rng, steps_per_epoch=1)
 
-    b = n_devices  # one sample per device
+    b = n_dp  # one sample per dp row
     rnp = np.random.default_rng(0)
     ns = cfg.tpu.scan_points
     batch = {
@@ -121,4 +145,5 @@ def dryrun(n_devices: int) -> None:
     jax.block_until_ready(metrics)
     loss = float(metrics["loss"])
     assert np.isfinite(loss), "non-finite loss in multichip dryrun"
-    print(f"dryrun_multichip: {n_devices} devices, loss={loss:.4f} ok")
+    axes = "x".join(f"{k}={v}" for k, v in zip(mesh.axis_names, mesh.devices.shape))
+    print(f"dryrun_multichip: {n_devices} devices ({axes}), loss={loss:.4f} ok")

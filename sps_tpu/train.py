@@ -79,10 +79,16 @@ def grad_step(
     cfg: Config,
     augment: bool,
     axis_name: str | None = None,
+    sp_axis: str | None = None,
 ):
     """One optimizer step. With axis_name set (inside shard_map/pmap) the
     gradients, loss and batch_stats are pmean'd over the data-parallel
-    axis, so every device applies identical updates."""
+    axis, so every device applies identical updates.
+
+    sp_axis: additionally shard each sample's brick/row axis over this
+    mesh axis (parallel/spatial.py). The forward all-gathers activations
+    per conv, so each device's backward holds only its block's weight-
+    gradient contribution — those are SUMMED (not averaged) over sp."""
     pb, aux = pipeline.assemble_batch(
         batch["xyz"],
         batch["label"],
@@ -91,9 +97,17 @@ def grad_step(
         cfg,
         rng if augment else None,
     )
+    apply_fn = state.apply_fn
+    if sp_axis is not None:
+        from sps_tpu.models.spsnet import SPSModel
+        from sps_tpu.parallel import spatial as sp_mod
+
+        # Same parameter tree as state.apply_fn's model; only the
+        # collectives differ, so params/batch_stats load unchanged.
+        apply_fn = SPSModel(sp_mod.sp_config(cfg.sps_config(), sp_axis)).apply
 
     def loss_fn(params):
-        (scores, maux), mut = state.apply_fn(
+        (scores, maux), mut = apply_fn(
             {"params": params, "batch_stats": state.batch_stats},
             pb,
             train=True,
@@ -113,6 +127,8 @@ def grad_step(
         "submap_overflow": aux["submap_overflow"],
     }
     new_bs = mut["batch_stats"]
+    if sp_axis is not None:
+        grads = jax.lax.psum(grads, sp_axis)
     if axis_name is not None:
         grads = jax.lax.pmean(grads, axis_name)
         new_bs = jax.lax.pmean(new_bs, axis_name)

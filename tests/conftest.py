@@ -16,9 +16,20 @@ import sys
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# This box has ONE physical core; an 8-thread collective rendezvous can
+# take minutes to assemble under load, and XLA:CPU ABORTS the process
+# when a participant misses its default terminate timeout (observed as
+# "Fatal Python error: Aborted" in block_until_ready in the dp tests;
+# pytest's capture swallows the rendezvous log). Give collectives ample
+# time instead of crashing.
+if "collective_call_terminate_timeout" not in flags:
+    flags += (
+        " --xla_cpu_collective_call_terminate_timeout_seconds=3600"
+        " --xla_cpu_collective_timeout_seconds=3600"
+        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=600"
+    )
+os.environ["XLA_FLAGS"] = flags
 
 os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR",
