@@ -152,11 +152,30 @@ class StreamingFilter:
     reference node is strictly one scan at a time (sps_node.py:88);
     batched mode is the TPU-idiomatic throughput configuration."""
 
-    def __init__(self, cfg: Config, variables, map_points: np.ndarray, batch: int = 1):
+    def __init__(
+        self,
+        cfg: Config,
+        variables,
+        map_points: np.ndarray,
+        batch: int = 1,
+        mesh=None,
+        sp_axis: str = "sp",
+    ):
         self.cfg = cfg
         self.batch = batch
         # Streaming uses scan-only voxel capacity (no submap cloud).
         self.sps_cfg = cfg.sps_config(batch_size=batch)
+        # mesh: spread each scan's brick axis over a device mesh (spatial
+        # sharding, parallel/spatial.py) — the serving configuration for
+        # multi-chip latency scaling. The per-scan function is shard_mapped
+        # with replicated inputs; the UNet all-gathers activations over
+        # ICI per conv while each chip computes its brick-slab block.
+        self.mesh = mesh
+        self.sp_axis = sp_axis
+        if mesh is not None:
+            from sps_tpu.parallel import spatial as sp_mod
+
+            self.sps_cfg = sp_mod.sp_config(self.sps_cfg, sp_axis)
         self.model = SPSModel(self.sps_cfg)
         self.variables = variables
         if cfg.tpu.engine == "atlas":
@@ -176,6 +195,28 @@ class StreamingFilter:
             self._fn = self._make_gather_fn()
         self.eps = cfg.threshold
 
+    def _wrap(self, fn):
+        """Compile the per-scan function: plain jit single-device, or
+        shard_map over the mesh with replicated in/out (the brick-axis
+        sharding is internal to the model — parallel/spatial.py)."""
+        if self.mesh is None:
+            return jax.jit(fn)
+        try:
+            from jax.experimental.shard_map import shard_map
+        except ImportError:  # pragma: no cover
+            from jax.shard_map import shard_map  # type: ignore
+        from jax.sharding import PartitionSpec as P
+
+        return jax.jit(
+            shard_map(
+                fn,
+                mesh=self.mesh,
+                in_specs=(P(),) * 6,
+                out_specs=P(),
+                check_rep=False,
+            )
+        )
+
     def _make_atlas_fn(self):
         from sps_tpu.ops import atlas as atl
         from sps_tpu.ops import brick as bk
@@ -187,7 +228,6 @@ class StreamingFilter:
         scfg = self.sps_cfg
         bcap = scfg.caps.bricks[0]
 
-        @jax.jit
         def fn(variables, map_grid, scan_xyz, valid, labels, poses):
             # scan_xyz (NB, n, 3); poses (NB, 4, 4); valid/labels (NB, n).
             nb, n = scan_xyz.shape[:2]
@@ -236,7 +276,7 @@ class StreamingFilter:
             }
             return scores.reshape(nb, n), keep.reshape(nb, n), stats
 
-        return fn
+        return self._wrap(fn)
 
     def _make_brick_fn(self):
         from sps_tpu.ops import brick as bk
@@ -247,7 +287,6 @@ class StreamingFilter:
         vsize = cfg.voxel_size
         bcap = self.sps_cfg.caps.bricks[0]
 
-        @jax.jit
         def fn(variables, map_grid, scan_xyz, valid, labels, pose):
             xyz = transform_points(scan_xyz, pose)
             coords = vox.quantize(xyz, vsize)
@@ -288,7 +327,7 @@ class StreamingFilter:
             }
             return scores, keep, stats
 
-        return fn
+        return self._wrap(fn)
 
     def _make_gather_fn(self):
         cfg = self.cfg
@@ -297,7 +336,6 @@ class StreamingFilter:
         vsize = cfg.voxel_size
         vcap = self.sps_cfg.caps.voxels[0]
 
-        @jax.jit
         def fn(variables, map_table, scan_xyz, valid, labels, pose):
             xyz = transform_points(scan_xyz, pose)
             coords = vox.quantize(xyz, vsize)
@@ -335,7 +373,7 @@ class StreamingFilter:
             }
             return scores, keep, stats
 
-        return fn
+        return self._wrap(fn)
 
     def __call__(self, scan_xyz, valid, labels, pose):
         """Run one scan (n, 3) or a batch (NB, n, 3) of scans (atlas

@@ -53,6 +53,58 @@ def test_sp_forward_matches_single_device():
         )
 
 
+def test_sp_streaming_filter_matches_single_device():
+    """StreamingFilter(mesh=...) — the serving sp configuration — must
+    reproduce the single-device per-scan scores, keep mask, and metrics."""
+    import sps_tpu.config as cfg_mod
+    from sps_tpu import train as tr
+    from sps_tpu.stream.engine import StreamingFilter
+
+    cfg = cfg_mod.Config(
+        data=cfg_mod.DataConfig(root="/tmp"),
+        train=cfg_mod.TrainConfig(batch_size=1),
+        voxel_size=0.2,
+        tpu=cfg_mod.TPUConfig(
+            scan_points=1024,
+            submap_points=1024,
+            cell_capacity=4096,
+            voxels=(4096, 2048, 1024, 512, 256),
+            bricks=(1024, 512, 256, 256, 256),
+            engine="atlas",
+            brick_side=8,
+            atlas_extent=(16, 16, 16),
+            conv_mode="halo",
+            row_from=3,
+        ),
+    )
+    rng = np.random.default_rng(3)
+    state = tr.create_state(cfg, jax.random.PRNGKey(0), 1)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    n = 700
+    scan = rng.uniform(-5, 5, (n, 3)).astype(np.float32)
+    mappts = np.concatenate(
+        [scan[: n // 2] + rng.normal(0, 0.02, (n // 2, 3)).astype(np.float32),
+         rng.uniform(5, 9, (2000, 3)).astype(np.float32)]
+    )
+    ns = cfg.tpu.scan_points
+    sx = np.zeros((ns, 3), np.float32)
+    sv = np.zeros((ns,), bool)
+    sl = np.zeros((ns,), np.float32)
+    sx[:n], sv[:n] = scan, True
+    pose = np.eye(4, dtype=np.float32)
+
+    filt1 = StreamingFilter(cfg, variables, mappts)
+    s1, k1, m1 = filt1(sx, sv, sl, pose)
+    filt8 = StreamingFilter(cfg, variables, mappts, mesh=make_mesh(8, axis="sp"))
+    s8, k8, m8 = filt8(sx, sv, sl, pose)
+
+    np.testing.assert_allclose(np.asarray(s8), np.asarray(s1), rtol=2e-5, atol=2e-6)
+    assert np.array_equal(np.asarray(k8), np.asarray(k1))
+    assert not bool(np.asarray(m8["overflow"]))
+    np.testing.assert_allclose(float(m8["dIoU"]), float(m1["dIoU"]), atol=1e-6)
+
+
 def test_sp_train_stats_match_single_device():
     """Train-mode forward: the BN moment psum must reproduce the global
     masked statistics (and thus identical scores + running stats)."""
