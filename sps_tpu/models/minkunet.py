@@ -69,6 +69,10 @@ class MinkUNetConfig:
     # psums its moments. The point-cloud analog of sequence parallelism
     # (SURVEY.md §5). None = single-device layout.
     sp_axis: str | None = None
+    # sp only: > 0 switches conv source assembly from a full all-gather to
+    # the boundary-only ghost exchange with ghost capacity
+    # ghost_frac * block per source level (parallel/spatial.py).
+    sp_ghost_frac: float = 0.0
 
 
 def _kaiming(key, shape, dtype=jnp.float32):
@@ -208,13 +212,14 @@ class SpConv(nn.Module):
         w = w.astype(feats.dtype)
         center = None
         if self.sp_axis is not None and self.ksize > 1:
-            # Input is the device-local block; gather sources are global
-            # row ids, so assemble the full level over the sp axis. The
+            # Input is the device-local block; the (possibly remapped)
+            # tables hold source row ids, so assemble the gather source —
+            # full level (all-gather) or local+ghost rows (exchange). The
             # local block stays as the halo center (its own output domain).
-            import jax
+            from sps_tpu.parallel import spatial as sp_mod
 
             center = feats
-            feats = jax.lax.all_gather(feats, self.sp_axis, axis=0, tiled=True)
+            feats = sp_mod.gather_source(feats, lvl, "self", self.sp_axis)
         if self.ksize == 1:
             bias = (
                 self.param("bias", nn.initializers.zeros, (self.cout,))
@@ -277,10 +282,10 @@ class SpConvDown(nn.Module):
         wp = sc.pack_time_toeplitz(w.astype(feats.dtype), self.num_time)
         occ = occ_of(coarse_lvl)
         if self.sp_axis is not None:
-            # child tables hold global fine rows; assemble the fine level.
-            import jax
+            # child tables hold fine-level source rows; assemble them.
+            from sps_tpu.parallel import spatial as sp_mod
 
-            feats = jax.lax.all_gather(feats, self.sp_axis, axis=0, tiled=True)
+            feats = sp_mod.gather_source(feats, coarse_lvl, "child", self.sp_axis)
         if _is_brick(coarse_lvl):
             fin = feats
             if feats.ndim == 4:  # z-folded source level: unfold for gather
@@ -329,11 +334,11 @@ class SpConvUp(nn.Module):
         wp = sc.pack_time_toeplitz(w.astype(feats.dtype), self.num_time)
         occ = occ_of(fine_lvl)
         if self.sp_axis is not None:
-            # parent tables hold global coarse rows; assemble the coarse
-            # level before the octant-selected pull.
-            import jax
+            # parent tables hold coarse-level source rows; assemble them
+            # before the octant-selected pull.
+            from sps_tpu.parallel import spatial as sp_mod
 
-            feats = jax.lax.all_gather(feats, self.sp_axis, axis=0, tiled=True)
+            feats = sp_mod.gather_source(feats, fine_lvl, "parent", self.sp_axis)
         if _is_brick(fine_lvl):
             if fine_lvl.parent_rows is not None:
                 # Representation boundary: coarse side is rows (2-D feats)

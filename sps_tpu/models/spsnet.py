@@ -182,7 +182,12 @@ class SPSModel(nn.Module):
             # the convs all-gather their inputs over the sp axis.
             from sps_tpu.parallel import spatial as sp_mod
 
-            levels = sp_mod.slice_levels(levels, cfg.unet.sp_axis)
+            levels = sp_mod.slice_levels(
+                levels, cfg.unet.sp_axis, ghost_frac=cfg.unet.sp_ghost_frac
+            )
+            # Ghost-capacity overflow is OR'd into the sliced levels'
+            # flags — re-stack so it reaches aux (never silently dropped).
+            overflow = jnp.stack([lv.grid.overflow for lv in levels])
         # Constant 0.5 input feature on occupied slots (models.py:22).
         occ0 = levels[0].grid.occ
         feats0 = (0.5 * jnp.repeat(occ0, cfg.unet.in_channels, axis=-1)).astype(

@@ -332,6 +332,10 @@ class RowLevel(flax.struct.PyTreeNode):
     child: jnp.ndarray | None = None  # (8, V)
     parent: jnp.ndarray | None = None  # (V,)
     parity: jnp.ndarray | None = None  # (V,)
+    # Ghost-exchange spatial sharding (see brick.BrickLevel / spatial.py).
+    ghost_self: jnp.ndarray | None = None
+    ghost_child: jnp.ndarray | None = None
+    ghost_parent: jnp.ndarray | None = None
 
 
 def _row_compact(occ_any_flat: jnp.ndarray, capacity: int):

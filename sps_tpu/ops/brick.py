@@ -76,6 +76,15 @@ class BrickLevel(NamedTuple):
     # sub-block index. Consumed by brick.brick_conv_down_cross.
     cross_child: jnp.ndarray | None = None
     cross_par: jnp.ndarray | None = None
+    # Spatial sharding, ghost-exchange mode only (parallel/spatial.py):
+    # per-table lists of GLOBAL source rows this shard needs from other
+    # shards. When set, the corresponding table (nbr27 / child / parent or
+    # parent_rows) has been remapped into the [local | block+ghost-slot]
+    # index space and convs fetch ghosts with an all_to_all instead of
+    # all-gathering the full level.
+    ghost_self: jnp.ndarray | None = None  # (G,) for nbr27
+    ghost_child: jnp.ndarray | None = None  # (G,) for child (finer domain)
+    ghost_parent: jnp.ndarray | None = None  # (G,) for parent/parent_rows
 
 
 def take_rows(feats: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:

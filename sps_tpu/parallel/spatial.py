@@ -20,17 +20,22 @@ be spread over an ICI mesh:
     local output block. BatchNorm psums its masked moments; everything
     else is elementwise on local blocks.
 
-Communication = one activation all-gather per conv + one psum pair per BN.
-This is the all-gather formulation (Megatron-style sequence parallelism);
-a boundary-only halo exchange (ppermute of the ~N^(2/3) boundary bricks)
-is the planned refinement and slots into the same seams (the atlas
-compaction is x-major, so contiguous row blocks are x-slabs and block
-neighbors are almost always local).
+Two source-assembly modes per conv:
 
-Because the atlas orders brick rows by cell id (batch-major, then x), a
-contiguous row block IS a spatial slab — the all-gather moves data that a
-halo exchange would mostly skip, but the partition itself is genuinely
-spatial and load-balanced by occupancy, not geometry.
+  * ghost_frac = 0 — full all-gather of the input level per conv (the
+    Megatron-sequence-parallel formulation). Simple, always correct.
+  * ghost_frac > 0 — boundary-only GHOST EXCHANGE: because the atlas
+    orders brick rows by cell id (batch-major, then x), a contiguous row
+    block is a spatial slab, so the rows a shard references outside its
+    own block are just the slab surface (~N^(2/3) of N). slice_levels
+    compacts those global ids into a static-capacity ghost list per
+    (level, table), remaps the tables into [local | ghost] index space,
+    and each conv fetches only the ghost rows with one all_to_all
+    (`exchange`) instead of all-gathering the level. Ghost capacity
+    overflow is reported through the level overflow flag, never silent.
+
+Communication per conv: all-gather of the level (mode 1) or
+n_sp * ghost_cap rows (mode 2) + one psum pair per train-mode BN.
 """
 
 from __future__ import annotations
@@ -42,6 +47,7 @@ import jax.numpy as jnp
 
 from sps_tpu.ops import atlas as atl
 from sps_tpu.ops import brick as bk
+from sps_tpu.ops import hash as vhash
 
 try:  # moved in newer jax
     from jax.experimental.shard_map import shard_map
@@ -76,11 +82,92 @@ def _s1(x, axis):
     return jax.lax.dynamic_slice_in_dim(x, start, blk, 1)
 
 
-def slice_levels(levels: list, axis: str) -> list:
+def _ghost_plan(tables, src_cap: int, axis: str, ghost_cap: int):
+    """Ghost plan for a source feature domain of src_cap rows.
+
+    tables: list of (table, flat_divisor) whose VALUES reference global
+    source rows (divisor > 1 when values are flat sub-slot ids
+    row * divisor + local, e.g. brick-slot children). Marks every value
+    outside this shard's [lo, lo+blk) block, compacts the marked globals
+    into <= ghost_cap ghost slots, and remaps each table into the
+    [0, blk) local | [blk, blk+ghost_cap) ghost index space.
+
+    Returns (remapped_tables, ghost_ids (ghost_cap,), overflow)."""
+    n = jax.lax.psum(1, axis)
+    assert src_cap % n == 0, (src_cap, n)
+    blk = src_cap // n
+    lo = jax.lax.axis_index(axis) * blk
+    mark = jnp.zeros((src_cap + 1,), jnp.int32)
+    infos = []
+    for t, div in tables:
+        ids = t // div if div > 1 else t
+        valid = t >= 0
+        remote = valid & ((ids < lo) | (ids >= lo + blk))
+        mark = mark.at[jnp.where(remote, ids, src_cap)].max(
+            remote.astype(jnp.int32), mode="drop"
+        )
+        infos.append((t, div, ids, valid, remote))
+    rowmap, ghost_ids, _num, overflow = atl._row_compact(mark[:src_cap], ghost_cap)
+    remapped = []
+    for t, div, ids, valid, remote in infos:
+        slot = rowmap[jnp.clip(ids, 0, src_cap)]  # rowmap is (src_cap+1,)
+        base = jnp.where(remote, blk + slot, ids - lo)
+        new_t = base * div + (t % div) if div > 1 else base
+        # Ghost overflow leaves slot = EMPTY: drop the entry (and report
+        # overflow) rather than aliasing local row blk-1.
+        ok = valid & jnp.where(remote, slot >= 0, True)
+        remapped.append(jnp.where(ok, new_t, vhash.EMPTY))
+    return remapped, ghost_ids, overflow
+
+
+def exchange(x_local: jnp.ndarray, ghost_ids: jnp.ndarray, axis: str) -> jnp.ndarray:
+    """Fetch ghost rows from their owner shards: (blk, ...) local block +
+    (G,) global row ids -> (blk+G, ...) [local | ghosts].
+
+    One tiny id all-gather + one (n*G*rowbytes) all_to_all, vs. the
+    all-gather formulation's (src_cap*rowbytes) — the win is the boundary
+    fraction G/blk (x-major atlas ordering makes blocks spatial slabs, so
+    G is the slab surface, ~N^(2/3))."""
+    blk = x_local.shape[0]
+    g = ghost_ids.shape[0]
+    lo = jax.lax.axis_index(axis) * blk
+    ids_all = jax.lax.all_gather(ghost_ids, axis, axis=0)  # (n, G)
+    rel = ids_all - lo
+    mine = (rel >= 0) & (rel < blk)
+    flat = x_local.reshape(blk, -1)
+    send = jnp.where(
+        mine[..., None], flat[jnp.clip(rel, 0, blk - 1)], 0
+    ).astype(x_local.dtype)  # (n, G, F): rows of MY block each shard needs
+    recv = jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0)
+    ghosts = jnp.sum(recv, axis=0)  # each ghost row has exactly one owner
+    return jnp.concatenate(
+        [x_local, ghosts.reshape((g,) + x_local.shape[1:])], axis=0
+    )
+
+
+def gather_source(feats, lvl, kind: str, axis: str):
+    """Assemble a conv's gather source under sp: ghost exchange when the
+    level carries a plan for this table kind, else a full all-gather."""
+    ids = getattr(lvl, f"ghost_{kind}", None)
+    if ids is not None:
+        return exchange(feats, ids, axis)
+    return jax.lax.all_gather(feats, axis, axis=0, tiled=True)
+
+
+def slice_levels(levels: list, axis: str, ghost_frac: float = 0.0) -> list:
     """Device-local view of a (replicated) topology pyramid: slice each
     level's OUTPUT-domain tables to this device's contiguous row block.
-    Table VALUES (global row ids into neighboring levels) are untouched —
-    consumers all-gather their gather sources (minkunet.SpConv*)."""
+
+    ghost_frac = 0: table VALUES (global row ids into neighboring levels)
+    are untouched and consumers all-gather their gather sources
+    (minkunet.SpConv*). ghost_frac > 0: additionally build ghost plans —
+    each table is remapped to [local | ghost] space with ghost capacity
+    ceil(ghost_frac * block) per source domain, and convs exchange only
+    boundary rows (see exchange). Ghost overflow is OR'd into the level's
+    overflow flag (reported, never a recompile — the capacity discipline
+    of docs/DESIGN.md §3)."""
+    if ghost_frac > 0.0:
+        return _slice_levels_ghost(levels, axis, ghost_frac)
     out = []
     for lv in levels:
         if isinstance(lv, atl.RowLevel):
@@ -127,10 +214,117 @@ def slice_levels(levels: list, axis: str) -> list:
     return out
 
 
-def sp_config(scfg, axis: str = "sp"):
-    """An SPSConfig whose UNet runs spatially sharded over `axis`."""
+def _slice_levels_ghost(levels: list, axis: str, frac: float) -> list:
+    """Ghost-exchange variant of slice_levels: slice output-domain tables,
+    then remap their values into [local | ghost] space with per-source
+    ghost plans (capacity = frac * source block, rounded up to 64)."""
+    import math
+
+    n = jax.lax.psum(1, axis)
+
+    def gcap(src_cap: int) -> int:
+        blk = src_cap // n
+        return min(blk * (n - 1), max(64, -(-int(blk * frac) // 64) * 64))
+
+    def src_of(i: int) -> int:
+        """Feature-row capacity of level i (brick rows or voxel rows)."""
+        return levels[i].grid.occ.shape[0]
+
+    out: list = []
+    for li, lv in enumerate(levels):
+        if isinstance(lv, bk.BrickLevel) and lv.cross_child is not None:
+            raise NotImplementedError(
+                "ghost-exchange sp does not support rebricked (brick2) "
+                "pyramids; use ghost_frac=0 or row_from"
+            )
+        is_row = isinstance(lv, atl.RowLevel)
+        cap = lv.grid.occ.shape[0]
+        over = lv.grid.overflow
+
+        nbr = _s1(lv.nbr27, axis)
+        [nbr], g_self, ov = _ghost_plan([(nbr, 1)], cap, axis, gcap(cap))
+        over = over | ov
+
+        child = _s1(lv.child, axis)
+        g_child = None
+        if child is not None:
+            scap = src_of(li - 1)
+            prev = levels[li - 1]
+            div = 1
+            if is_row and not isinstance(prev, atl.RowLevel):
+                # First row level: child values are flat brick slots
+                # (brick_row * bs^3 + local) into the fine BRICK level.
+                div = prev.grid.occ.shape[1] ** 3
+            [child], g_child, ov = _ghost_plan(
+                [(child, div)], scap, axis, gcap(scap)
+            )
+            over = over | ov
+
+        parent = _s0(lv.parent, axis)
+        g_parent = None
+        if parent is not None:
+            scap = src_of(li + 1)
+            [parent], g_parent, ov = _ghost_plan(
+                [(parent, 1)], scap, axis, gcap(scap)
+            )
+            over = over | ov
+
+        if is_row:
+            out.append(
+                lv.replace(
+                    grid=lv.grid.replace(occ=_s0(lv.grid.occ, axis), overflow=over),
+                    nbr27=nbr,
+                    brick_of_row=_s0(lv.brick_of_row, axis),
+                    lflat_of_row=_s0(lv.lflat_of_row, axis),
+                    child=child,
+                    parent=parent,
+                    parity=_s0(lv.parity, axis),
+                    ghost_self=g_self,
+                    ghost_child=g_child,
+                    ghost_parent=g_parent,
+                )
+            )
+        else:
+            parent_rows = _s0(lv.parent_rows, axis)
+            if parent_rows is not None:
+                # Boundary transpose conv: values are coarse ROW ids of the
+                # next (row-form) level. Shares the parent plan slot.
+                assert parent is None, "parent and parent_rows both set"
+                scap = src_of(li + 1)
+                [parent_rows], g_parent, ov = _ghost_plan(
+                    [(parent_rows, 1)], scap, axis, gcap(scap)
+                )
+                over = over | ov
+            g = lv.grid
+            out.append(
+                lv._replace(
+                    grid=g._replace(
+                        occ=_s0(g.occ, axis), coords=_s0(g.coords, axis),
+                        overflow=over,
+                    ),
+                    nbr27=nbr,
+                    parent=parent,
+                    oct=_s0(lv.oct, axis),
+                    child=child,
+                    parent_rows=parent_rows,
+                    ghost_self=g_self,
+                    ghost_child=g_child,
+                    ghost_parent=g_parent,
+                )
+            )
+    return out
+
+
+def sp_config(scfg, axis: str = "sp", ghost_frac: float = 0.0):
+    """An SPSConfig whose UNet runs spatially sharded over `axis`.
+
+    ghost_frac > 0 switches the per-conv source assembly from a full
+    all-gather to the boundary-only ghost exchange (see exchange)."""
     return dataclasses.replace(
-        scfg, unet=dataclasses.replace(scfg.unet, sp_axis=axis)
+        scfg,
+        unet=dataclasses.replace(
+            scfg.unet, sp_axis=axis, sp_ghost_frac=ghost_frac
+        ),
     )
 
 

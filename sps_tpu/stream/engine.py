@@ -160,6 +160,7 @@ class StreamingFilter:
         batch: int = 1,
         mesh=None,
         sp_axis: str = "sp",
+        sp_ghost_frac: float = 0.0,
     ):
         self.cfg = cfg
         self.batch = batch
@@ -168,14 +169,17 @@ class StreamingFilter:
         # mesh: spread each scan's brick axis over a device mesh (spatial
         # sharding, parallel/spatial.py) — the serving configuration for
         # multi-chip latency scaling. The per-scan function is shard_mapped
-        # with replicated inputs; the UNet all-gathers activations over
-        # ICI per conv while each chip computes its brick-slab block.
+        # with replicated inputs; each chip computes its brick-slab block
+        # of every conv, assembling sources with per-conv all-gathers
+        # (sp_ghost_frac=0) or boundary-only ghost exchanges (> 0).
         self.mesh = mesh
         self.sp_axis = sp_axis
         if mesh is not None:
             from sps_tpu.parallel import spatial as sp_mod
 
-            self.sps_cfg = sp_mod.sp_config(self.sps_cfg, sp_axis)
+            self.sps_cfg = sp_mod.sp_config(
+                self.sps_cfg, sp_axis, ghost_frac=sp_ghost_frac
+            )
         self.model = SPSModel(self.sps_cfg)
         self.variables = variables
         if cfg.tpu.engine == "atlas":

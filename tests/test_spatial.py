@@ -20,7 +20,7 @@ from sps_tpu.parallel.mesh import make_mesh
 from tests.test_minkunet import CFG, _batch
 
 
-def _sp_cfg(**kw):
+def _sp_cfg(ghost_frac=0.0, **kw):
     base = dataclasses.replace(
         CFG,
         engine="atlas",
@@ -28,7 +28,7 @@ def _sp_cfg(**kw):
         atlas_extent=(2, 24, 24, 24),
         **kw,
     )
-    return sp.sp_config(base, axis="sp")
+    return sp.sp_config(base, axis="sp", ghost_frac=ghost_frac)
 
 
 def test_sp_forward_matches_single_device():
@@ -51,6 +51,77 @@ def test_sp_forward_matches_single_device():
             np.asarray(s8), np.asarray(s1), rtol=2e-5, atol=2e-6,
             err_msg=f"sp forward mismatch for {kw}",
         )
+
+
+def _slab_batch(rng):
+    """Dense two-layer slab: one jittered point per 2 m brick over a
+    22x22x2 brick lattice (voxel 0.25, side 8) -> 968 occupied bricks
+    spanning ALL 8 blocks of the 1024-row L0 capacity, with every brick
+    having occupied neighbors, so block-boundary rows genuinely reference
+    remote shards. (A small random cloud compacts into shard 0's block
+    alone and exercises no exchange at all.) The jitter places points
+    anywhere inside their brick, so 3^3/5^3 kernels reach across brick —
+    and therefore block — boundaries; a broken exchange changes scores."""
+    from sps_tpu.structs import pad_point_batch
+    from tests.test_minkunet import CAPS
+
+    xs = np.arange(-22.0, 22.0, 2.0, dtype=np.float32)
+    zs = np.asarray([0.0, 2.0], np.float32)
+    gx, gy, gz = np.meshgrid(xs, xs, zs)
+    n = gx.size
+    base = np.stack([gx.ravel(), gy.ravel(), gz.ravel()], axis=-1)
+    xyz = base + rng.uniform(0, 2.0, (n, 3)).astype(np.float32)
+    batch = np.zeros(n, np.int64)
+    t = rng.integers(0, 2, size=n)
+    label = rng.uniform(0, 1, size=n).astype(np.float32)
+    return pad_point_batch(xyz, batch, t, label, CAPS.points)
+
+
+def test_sp_ghost_exchange_matches_single_device():
+    """Ghost-exchange mode (boundary rows via all_to_all instead of a
+    full per-conv all-gather) must be numerically identical: the exchanged
+    rows carry the same values the all-gather would have provided. Covers
+    the aliased hybrid pyramid (row boundaries, flat-slot child remap)
+    and the all-brick pyramid (parent/oct up-conv remap)."""
+    rng = np.random.default_rng(13)
+    pb = _slab_batch(rng)
+    mesh = make_mesh(8, axis="sp")
+
+    for kw in ({"row_from": 3}, {}):
+        # At this toy scale blocks are tiny and MOST rows are remote (the
+        # slab-surface argument needs production-scale blocks), so give the
+        # ghost lists the full remainder (frac = n-1 -> every remote row
+        # fits, overflow structurally impossible); the machinery exercised
+        # (mark/compact/remap/all_to_all) is identical at any frac.
+        cfg_g = _sp_cfg(ghost_frac=7.0, **kw)
+        cfg_1 = dataclasses.replace(cfg_g, unet=CFG.unet)
+        model_1 = SPSModel(cfg_1)
+        model_g = SPSModel(cfg_g)
+        variables = model_1.init(jax.random.PRNGKey(0), pb)
+
+        s1, _ = jax.jit(lambda v, b: model_1.apply(v, b))(variables, pb)
+        fn = sp.make_sp_apply(model_g, mesh)
+        s8, overflow = fn(variables, pb)
+        assert not bool(np.asarray(overflow).any()), f"ghost overflow {kw}"
+        np.testing.assert_allclose(
+            np.asarray(s8), np.asarray(s1), rtol=2e-5, atol=2e-6,
+            err_msg=f"ghost sp mismatch for {kw}",
+        )
+
+
+def test_sp_ghost_overflow_is_reported():
+    """An undersized ghost capacity must set the overflow flag (dropped
+    neighbors are reported, never silent)."""
+    rng = np.random.default_rng(17)
+    pb = _slab_batch(rng)
+    mesh = make_mesh(8, axis="sp")
+    cfg_g = _sp_cfg(ghost_frac=1e-9, row_from=3)  # gcap floors at 64
+    model_g = SPSModel(cfg_g)
+    cfg_1 = dataclasses.replace(cfg_g, unet=CFG.unet)
+    variables = SPSModel(cfg_1).init(jax.random.PRNGKey(0), pb)
+    fn = sp.make_sp_apply(model_g, mesh)
+    _, overflow = fn(variables, pb)
+    assert bool(np.asarray(overflow).any())
 
 
 def test_sp_streaming_filter_matches_single_device():
