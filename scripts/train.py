@@ -18,12 +18,17 @@ import click
 @click.option("--ckpt-dir", type=str, default="./checkpoints")
 @click.option("--max-steps", type=int, default=None, help="Stop early (smoke runs)")
 @click.option("--seed", type=int, default=0)
-def main(config, data, log_dir, ckpt_dir, max_steps, seed):
+@click.option("--resume", is_flag=True, default=False,
+              help="Continue from <ckpt-dir>/last (params + optimizer state)")
+@click.option("--devices", type=int, default=1,
+              help="Data-parallel training over an N-chip mesh (batch sharded)")
+def main(config, data, log_dir, ckpt_dir, max_steps, seed, resume, devices):
     from sps_tpu import config as cfg_mod
     from sps_tpu import train
 
     cfg = cfg_mod.load(config, data_root=data)
-    best = train.fit(cfg, log_dir=log_dir, ckpt_dir=ckpt_dir, max_steps=max_steps, seed=seed)
+    best = train.fit(cfg, log_dir=log_dir, ckpt_dir=ckpt_dir, max_steps=max_steps,
+                     seed=seed, resume=resume, devices=devices)
     print(f"best checkpoint: {best}")
 
 

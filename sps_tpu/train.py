@@ -184,8 +184,19 @@ class JSONLLogger:
 
 
 def fit(cfg: Config, log_dir: str = "./tb_logs", ckpt_dir: str = "./checkpoints",
-        max_steps: int | None = None, seed: int = 0) -> str:
-    """Train per config; returns the best checkpoint path."""
+        max_steps: int | None = None, seed: int = 0, resume: bool = False,
+        devices: int = 1) -> str:
+    """Train per config; returns the best checkpoint path.
+
+    resume: continue from `<ckpt_dir>/last` (params, batch_stats, optimizer
+    state, step and epoch counters) — the analog of Lightning
+    `Trainer.fit(ckpt_path="last")`. The last checkpoint must have been
+    written by this trainer (it persists opt_state; `full=True` saves).
+
+    devices: >1 trains data-parallel over a `devices`-chip ICI mesh
+    (parallel/mesh.py) — batch sharded, params/map replicated, grads and
+    batch_stats pmean'd. batch_size must be divisible by devices.
+    """
     data = BLTDataModule(cfg)
     map_points = jnp.asarray(data.map_points)
     steps_per_epoch = max(1, len(data.train) // cfg.train.batch_size)
@@ -193,20 +204,59 @@ def fit(cfg: Config, log_dir: str = "./tb_logs", ckpt_dir: str = "./checkpoints"
     state = create_state(cfg, rng, steps_per_epoch)
     logger = JSONLLogger(log_dir, cfg.experiment_id)
 
+    dp_step = None
+    if devices > 1:
+        if cfg.train.batch_size % devices:
+            raise ValueError(
+                f"batch_size {cfg.train.batch_size} not divisible by devices {devices}"
+            )
+        from sps_tpu.parallel import mesh as pmesh
+
+        mesh = pmesh.make_mesh(devices)
+        dp_step = pmesh.make_dp_train_step(cfg, mesh, augment=cfg.train.augmentation)
+
     best_val = float("inf")
     best_path = os.path.join(os.path.abspath(ckpt_dir), "best")
     last_path = os.path.join(os.path.abspath(ckpt_dir), "last")
     step = 0
+    start_epoch = 0
+    if resume and os.path.isdir(last_path):
+        raw = ckpt.restore(last_path)
+        if "opt_state" not in raw:
+            raise ValueError(
+                f"{last_path} has no optimizer state; it predates resumable "
+                "checkpoints and cannot seed --resume"
+            )
+        tmpl = {
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+            "step": jnp.asarray(state.step),
+            "epoch": jnp.asarray(0),
+        }
+        out = ckpt.restore(last_path, template=tmpl)
+        state = state.replace(
+            params=out["params"],
+            batch_stats=out["batch_stats"],
+            opt_state=out["opt_state"],
+            step=int(out["step"]),
+        )
+        step = int(out["step"])
+        start_epoch = int(out["epoch"]) + 1
+        print(f"resumed from {last_path}: epoch {start_epoch}, step {step}", flush=True)
     t0 = time.time()
-    for epoch in range(cfg.train.max_epoch):
+    for epoch in range(start_epoch, cfg.train.max_epoch):
         for batch in data.batches(
             data.train, cfg.train.batch_size, cfg.data.shuffle, seed=seed + epoch
         ):
             rng, sk = jax.random.split(rng)
             hb = {k: jnp.asarray(v) for k, v in batch.items() if k != "indices"}
-            state, m = train_step(
-                state, hb, map_points, sk, cfg=cfg, augment=cfg.train.augmentation
-            )
+            if dp_step is not None:
+                state, m = dp_step(state, hb, map_points, jax.random.split(sk, devices))
+            else:
+                state, m = train_step(
+                    state, hb, map_points, sk, cfg=cfg, augment=cfg.train.augmentation
+                )
             step += 1
             if step % 10 == 1 or max_steps:
                 mm = {k: float(v) for k, v in m.items()}
@@ -217,7 +267,7 @@ def fit(cfg: Config, log_dir: str = "./tb_logs", ckpt_dir: str = "./checkpoints"
                     flush=True,
                 )
             if max_steps and step >= max_steps:
-                ckpt.save(last_path, state, cfg)
+                ckpt.save(last_path, state, cfg, epoch=epoch, full=True)
                 return last_path
         # Validation.
         vals = []
@@ -228,7 +278,7 @@ def fit(cfg: Config, log_dir: str = "./tb_logs", ckpt_dir: str = "./checkpoints"
         vr2 = float(jnp.mean(jnp.stack([v["r2"] for v in vals])))
         logger.log(step, epoch=epoch, val_loss=vloss, val_r2=vr2)
         print(f"epoch {epoch} VAL loss {vloss:.4f} r2 {vr2:.4f}", flush=True)
-        ckpt.save(last_path, state, cfg)
+        ckpt.save(last_path, state, cfg, epoch=epoch, full=True)
         if vloss < best_val:
             best_val = vloss
             ckpt.save(best_path, state, cfg)

@@ -30,11 +30,18 @@ def _cfg_to_dict(cfg) -> dict:
     return enc(cfg)
 
 
-def save(path: str, state, cfg=None) -> None:
+def save(path: str, state, cfg=None, epoch: int | None = None,
+         full: bool = False) -> None:
+    """full=True additionally persists opt_state (+ epoch), making the
+    checkpoint resumable — the analog of Lightning's save_last=True
+    checkpoints, which carry optimizer state for `fit(ckpt_path=...)`."""
     path = os.path.abspath(path)
     item = {"params": state.params, "batch_stats": state.batch_stats}
     if getattr(state, "opt_state", None) is not None:
         item["step"] = jax.numpy.asarray(state.step)
+    if full:
+        item["opt_state"] = state.opt_state
+        item["epoch"] = jax.numpy.asarray(-1 if epoch is None else epoch)
     ckptr = ocp.PyTreeCheckpointer()
     ckptr.save(path, item, force=True)
     if cfg is not None:
@@ -42,10 +49,14 @@ def save(path: str, state, cfg=None) -> None:
             json.dump(_cfg_to_dict(cfg), f, indent=2)
 
 
-def restore(path: str) -> dict[str, Any]:
+def restore(path: str, template=None) -> dict[str, Any]:
+    """template: an item pytree whose structure the restore should follow
+    (needed for opt_state, whose optax NamedTuple structure is lost in a
+    raw restore). Extra template keys absent from the checkpoint are not
+    tolerated — check key presence with a raw restore first."""
     path = os.path.abspath(path)
     ckptr = ocp.PyTreeCheckpointer()
-    out = ckptr.restore(path)
+    out = ckptr.restore(path) if template is None else ckptr.restore(path, item=template)
     cfg_path = path + ".config.json"
     if os.path.exists(cfg_path):
         with open(cfg_path) as f:
