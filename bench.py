@@ -152,16 +152,18 @@ def main():
     # device copy is ~0.2 ms over PCIe on a real TPU host but tens of ms
     # through the axon tunnel; staging keeps the timing about the
     # framework, not the tunnel. (A deployment ingests at sensor rate and
-    # uploads the next scan while the current one computes.)
+    # uploads the next scan while the current one computes.) Stage each
+    # scan exactly once: ceil(n_scans/nb) disjoint batches, cycled.
     _log("staging scan batches on device")
+    n_staged = max(1, n_scans // nb)
     staged = [
         tuple(jax.device_put(a) for a in batch_args(i * nb))
-        for i in range(n_scans)
+        for i in range(n_staged)
     ]
     jax.block_until_ready(staged)
 
     def staged_args(i):
-        return staged[i % n_scans]
+        return staged[i % n_staged]
 
     tput = None
     if args.tput:

@@ -206,6 +206,12 @@ def fit(cfg: Config, log_dir: str = "./tb_logs", ckpt_dir: str = "./checkpoints"
 
     dp_step = None
     if devices > 1:
+        if devices > len(jax.devices()):
+            raise ValueError(
+                f"--devices {devices} > {len(jax.devices())} available "
+                f"({[str(d) for d in jax.devices()]}); a smaller mesh would "
+                "silently change parallelism"
+            )
         if cfg.train.batch_size % devices:
             raise ValueError(
                 f"batch_size {cfg.train.batch_size} not divisible by devices {devices}"
@@ -220,9 +226,14 @@ def fit(cfg: Config, log_dir: str = "./tb_logs", ckpt_dir: str = "./checkpoints"
     last_path = os.path.join(os.path.abspath(ckpt_dir), "last")
     step = 0
     start_epoch = 0
-    if resume and os.path.isdir(last_path):
-        raw = ckpt.restore(last_path)
-        if "opt_state" not in raw:
+    if resume:
+        if not os.path.isdir(last_path):
+            raise FileNotFoundError(
+                f"--resume given but no last checkpoint at {last_path} "
+                "(check --ckpt-dir); refusing to silently train from scratch"
+            )
+        have = ckpt.keys(last_path)
+        if "opt_state" not in have:
             raise ValueError(
                 f"{last_path} has no optimizer state; it predates resumable "
                 "checkpoints and cannot seed --resume"
@@ -234,6 +245,11 @@ def fit(cfg: Config, log_dir: str = "./tb_logs", ckpt_dir: str = "./checkpoints"
             "step": jnp.asarray(state.step),
             "epoch": jnp.asarray(0),
         }
+        # Older resumable checkpoints lack best_val/mid_epoch.
+        if "best_val" in have:
+            tmpl["best_val"] = jnp.asarray(0.0)
+        if "mid_epoch" in have:
+            tmpl["mid_epoch"] = jnp.asarray(False)
         out = ckpt.restore(last_path, template=tmpl)
         state = state.replace(
             params=out["params"],
@@ -242,8 +258,19 @@ def fit(cfg: Config, log_dir: str = "./tb_logs", ckpt_dir: str = "./checkpoints"
             step=int(out["step"]),
         )
         step = int(out["step"])
-        start_epoch = int(out["epoch"]) + 1
-        print(f"resumed from {last_path}: epoch {start_epoch}, step {step}", flush=True)
+        best_val = float(out.get("best_val", jnp.inf))
+        mid_epoch = bool(out.get("mid_epoch", False))
+        # An end-of-epoch save resumes at the next epoch; a mid-epoch
+        # (max_steps) save re-enters the interrupted epoch — its already-
+        # seen batches replay (the epoch's shuffle is seed-deterministic),
+        # which we accept rather than silently skipping unseen data.
+        start_epoch = int(out["epoch"]) + (0 if mid_epoch else 1)
+        print(
+            f"resumed from {last_path}: epoch {start_epoch}, step {step}, "
+            f"best_val {best_val:.4f}"
+            + (" (mid-epoch save: interrupted epoch replays)" if mid_epoch else ""),
+            flush=True,
+        )
     t0 = time.time()
     for epoch in range(start_epoch, cfg.train.max_epoch):
         for batch in data.batches(
@@ -267,7 +294,8 @@ def fit(cfg: Config, log_dir: str = "./tb_logs", ckpt_dir: str = "./checkpoints"
                     flush=True,
                 )
             if max_steps and step >= max_steps:
-                ckpt.save(last_path, state, cfg, epoch=epoch, full=True)
+                ckpt.save(last_path, state, cfg, epoch=epoch, full=True,
+                          best_val=best_val, mid_epoch=True)
                 return last_path
         # Validation.
         vals = []
@@ -278,8 +306,9 @@ def fit(cfg: Config, log_dir: str = "./tb_logs", ckpt_dir: str = "./checkpoints"
         vr2 = float(jnp.mean(jnp.stack([v["r2"] for v in vals])))
         logger.log(step, epoch=epoch, val_loss=vloss, val_r2=vr2)
         print(f"epoch {epoch} VAL loss {vloss:.4f} r2 {vr2:.4f}", flush=True)
-        ckpt.save(last_path, state, cfg, epoch=epoch, full=True)
         if vloss < best_val:
             best_val = vloss
             ckpt.save(best_path, state, cfg)
+        ckpt.save(last_path, state, cfg, epoch=epoch, full=True,
+                  best_val=best_val)
     return best_path

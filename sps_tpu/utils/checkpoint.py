@@ -31,10 +31,13 @@ def _cfg_to_dict(cfg) -> dict:
 
 
 def save(path: str, state, cfg=None, epoch: int | None = None,
-         full: bool = False) -> None:
-    """full=True additionally persists opt_state (+ epoch), making the
-    checkpoint resumable — the analog of Lightning's save_last=True
-    checkpoints, which carry optimizer state for `fit(ckpt_path=...)`."""
+         full: bool = False, best_val: float | None = None,
+         mid_epoch: bool = False) -> None:
+    """full=True additionally persists opt_state (+ epoch, best_val so far,
+    and whether the save interrupted an epoch), making the checkpoint
+    resumable — the analog of Lightning's save_last=True checkpoints,
+    which carry optimizer state AND best_model_score for
+    `fit(ckpt_path=...)`."""
     path = os.path.abspath(path)
     item = {"params": state.params, "batch_stats": state.batch_stats}
     if getattr(state, "opt_state", None) is not None:
@@ -42,11 +45,30 @@ def save(path: str, state, cfg=None, epoch: int | None = None,
     if full:
         item["opt_state"] = state.opt_state
         item["epoch"] = jax.numpy.asarray(-1 if epoch is None else epoch)
+        item["best_val"] = jax.numpy.asarray(
+            float("inf") if best_val is None else float(best_val)
+        )
+        item["mid_epoch"] = jax.numpy.asarray(bool(mid_epoch))
     ckptr = ocp.PyTreeCheckpointer()
     ckptr.save(path, item, force=True)
     if cfg is not None:
         with open(path + ".config.json", "w") as f:
             json.dump(_cfg_to_dict(cfg), f, indent=2)
+
+
+def keys(path: str) -> set[str]:
+    """Top-level keys present in a checkpoint, read from orbax metadata
+    (no full restore — a resumable checkpoint is ~4x params size)."""
+    path = os.path.abspath(path)
+    try:
+        meta = ocp.PyTreeCheckpointer().metadata(path)
+        tree = getattr(meta, "tree", meta)
+        return set(tree.keys())
+    except Exception:
+        # Metadata unavailable (older orbax layout): fall back to a raw
+        # restore just to learn the structure.
+        out = ocp.PyTreeCheckpointer().restore(path)
+        return set(out.keys())
 
 
 def restore(path: str, template=None) -> dict[str, Any]:
