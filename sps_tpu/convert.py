@@ -14,10 +14,12 @@ Layout differences handled:
     enumerated dimension-0-fastest (x fastest, t slowest) over the
     hypercube; we store (K_space, K_time, Cin, Cout) with x-SLOWEST
     spatial order (sps_tpu.ops.topology.kernel_offsets). The permutation
-    is computed, not assumed, from both enumerations. NOTE: ME's
-    x-fastest order is taken from MinkowskiEngine's kernel_region
-    iterator; it cannot be re-verified in this environment (no ME) —
-    set me_x_fastest=False if a real-checkpoint parity check disagrees.
+    is computed, not assumed, from both enumerations. ME's x-fastest
+    order is pinned by a torch/ME-free oracle (tests/test_me_order.py):
+    an independent transcription of ME's RegionIterator (region.hpp
+    carry iteration, dim 0 fastest) plus a semantic closure through the
+    brute-force 4D conv; me_x_fastest=False remains as an escape hatch
+    but is asserted NOT to be ME's order.
   * 1x1 convs: ME stores (Cin, Cout); ours (1, 1, Cin, Cout).
   * MinkowskiBatchNorm: bn.{weight,bias,running_mean,running_var} ->
     {scale,bias} params + {mean,var} batch_stats.
