@@ -25,11 +25,24 @@ import click
 @click.option("--scan-density", type=float, default=28.0)
 @click.option("--clutter-boxes", type=int, default=14)
 @click.option("--clutter-scale", type=float, default=1.6)
+@click.option("--growth-boxes", type=int, default=0,
+              help="per-seq inflated copies of mapped structures (walls "
+                   "offset <1 m from real walls; biases ICP — the change "
+                   "mode SPS filtering targets)")
+@click.option("--clean-sequences", type=str, default="",
+              help="csv sequence names generated with zero clutter "
+                   "(unchanged-world control)")
+@click.option("--sequences", type=str, default="",
+              help="csv sequence names (default: the 4 BLT-style names)")
 def main(root, scans_per_seq, seed, n_rays, ground_points, dense,
-         map_density, scan_density, clutter_boxes, clutter_scale):
+         map_density, scan_density, clutter_boxes, clutter_scale,
+         growth_boxes, clean_sequences, sequences):
     from sps_tpu.data import synthetic
 
     if dense:
+        kw = {}
+        if sequences:
+            kw["sequences"] = tuple(s.strip() for s in sequences.split(","))
         synthetic.generate_dense(
             root,
             scans_per_seq=scans_per_seq,
@@ -38,6 +51,11 @@ def main(root, scans_per_seq, seed, n_rays, ground_points, dense,
             scan_density=scan_density,
             clutter_boxes=clutter_boxes,
             clutter_scale=clutter_scale,
+            growth_boxes=growth_boxes,
+            clean_sequences=tuple(
+                s.strip() for s in clean_sequences.split(",") if s.strip()
+            ),
+            **kw,
         )
     else:
         synthetic.generate(

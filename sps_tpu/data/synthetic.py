@@ -201,6 +201,25 @@ def _sample_ground(rng, density, extent, near=None, max_r=None):
     return np.concatenate([g, z], 1).astype(np.float32)
 
 
+def _growth_params(rng, stable_boxes, n, radius, pad=(0.25, 0.9)):
+    """(n, 5) "growth" clutter: inflated copies of stable boxes near the
+    sensor loop — walls offset 0.25-0.9 m outside the mapped walls (the
+    vegetation-growth / scaffolding change the reference paper targets,
+    Readme.md:84-99). These create FALSE point-to-plane correspondences:
+    every growth point finds a real wall centroid within the ICP search
+    radius with a consistent-sign residual, biasing the pose estimate —
+    unlike free-standing clutter, which registration rejects as
+    no-correspondence outliers."""
+    d = np.abs(np.hypot(stable_boxes[:, 0], stable_boxes[:, 1]) - radius)
+    near = np.argsort(d)[: max(4, len(stable_boxes) // 2)]
+    idx = near[rng.integers(0, len(near), n)]
+    p = stable_boxes[idx].copy()
+    p[:, 2] += 2.0 * rng.uniform(*pad, n)  # sx inflated both sides
+    p[:, 3] += 2.0 * rng.uniform(*pad, n)
+    p[:, 4] *= rng.uniform(0.7, 1.0, n)
+    return p
+
+
 def generate_dense(
     root: str,
     sequences=("20220420", "20220601", "20220608", "20220629"),
@@ -215,12 +234,20 @@ def generate_dense(
     max_r: float = 25.0,
     noise: float = 0.012,
     step_m: float = 1.0,
+    growth_boxes: int = 0,
+    clean_sequences: tuple = (),
 ):
     """Dense-world synthetic dataset (same on-disk layout as generate()).
 
     Clutter boxes are placed in an annulus straddling the sensor loop so
     they dominate nearby returns — the regime where an unfiltered scan
     corrupts scan-to-map registration and stability filtering pays off.
+
+    growth_boxes: additional per-sequence clutter as inflated copies of
+    mapped structures (walls offset <1 m from real walls) — the change
+    mode that biases ICP instead of being outlier-rejected.
+    clean_sequences: names generated with ZERO clutter (unchanged world) —
+    the control where filtering must not hurt.
     """
     rng = np.random.default_rng(seed)
     stable_boxes = _box_params(rng, n_stable, extent)
@@ -241,13 +268,24 @@ def generate_dense(
     radius = 0.55 * extent
     for si, seq in enumerate(sequences):
         srng = np.random.default_rng(seed + 1000 + si)
-        clutter_boxes_p = _box_params(
-            srng,
-            clutter_boxes,
-            extent,
-            scale=clutter_scale,
-            ring=(radius - 6.0, radius + 6.0),
-        )
+        if seq in clean_sequences:
+            clutter_boxes_p = np.zeros((0, 5))
+        else:
+            clutter_boxes_p = _box_params(
+                srng,
+                clutter_boxes,
+                extent,
+                scale=clutter_scale,
+                ring=(radius - 6.0, radius + 6.0),
+            )
+            if growth_boxes:
+                clutter_boxes_p = np.concatenate(
+                    [
+                        clutter_boxes_p,
+                        _growth_params(srng, stable_boxes, growth_boxes, radius),
+                    ],
+                    0,
+                )
         sdir = os.path.join(root, "sequence", seq)
         os.makedirs(os.path.join(sdir, "scans"), exist_ok=True)
         os.makedirs(os.path.join(sdir, "poses"), exist_ok=True)
