@@ -38,8 +38,6 @@ def main():
     ap.add_argument("--bricks", default=None, help="csv per-level brick caps (batch budget)")
     ap.add_argument("--row-from", type=int, default=None)
     ap.add_argument("--zband-levels", type=int, default=None)
-    ap.add_argument("--brick2-from", type=int, default=None)
-    ap.add_argument("--bricks2", default=None, help="csv per-level side-2 brick caps")
     ap.add_argument("--fused", action="store_true")
     args = ap.parse_args()
 
@@ -75,10 +73,6 @@ def main():
         tpu_over["row_from"] = args.row_from
     if args.zband_levels is not None:
         tpu_over["zband_levels"] = args.zband_levels
-    if args.brick2_from is not None:
-        tpu_over["brick2_from"] = args.brick2_from
-    if args.bricks2 is not None:
-        tpu_over["bricks2"] = tuple(int(x) for x in args.bricks2.split(","))
     if tpu_over:
         cfg = dataclasses.replace(cfg, tpu=dataclasses.replace(cfg.tpu, **tpu_over))
 
@@ -152,8 +146,10 @@ def main():
             levels,
             False,
         )
-        out3 = out.reshape(-1, 2, ucfg.out_channels).astype(jnp.float32)
-        per_point = vox.devoxelize(out3, p2s, jnp.ones((n,), jnp.int32))[:, 0]
+        per_point = vox.devoxelize_flat(
+            out, p2s, jnp.ones((n,), jnp.int32), num_time=2,
+            channels=ucfg.out_channels,
+        )[:, 0].astype(jnp.float32)
         return jax.nn.sigmoid(per_point) * valid
 
     @jax.jit

@@ -60,10 +60,6 @@ class TPUConfig:
     # First pyramid level run on the compact voxel-row engine (atlas
     # engine); 0/absent disables.
     row_from: int = 0
-    # First pyramid level re-bricked at side 2 (atlas engine; alternative
-    # to row_from — if both are set, brick2 wins); 0/absent disables.
-    brick2_from: int = 0
-    bricks2: tuple = (8192, 4096, 2048, 1024, 512)  # whole batch
     max_per_cell: int = 8
     bf16: bool = False
 
@@ -101,7 +97,6 @@ class Config:
             points=bs * (self.tpu.scan_points + self.tpu.submap_points),
             voxels=tuple(rup(int(v * factor)) for v in self.tpu.voxels),
             bricks=tuple(rup(int(v * factor)) for v in self.tpu.bricks),
-            bricks2=tuple(rup(int(v * factor)) for v in self.tpu.bricks2),
         )
         return SPSConfig(
             voxel_size=self.voxel_size,
@@ -119,7 +114,6 @@ class Config:
             brick_side=self.tpu.brick_side,
             atlas_extent=(bs,) + tuple(self.tpu.atlas_extent),
             row_from=self.tpu.row_from if self.tpu.row_from > 0 else None,
-            brick2_from=self.tpu.brick2_from if self.tpu.brick2_from > 0 else None,
         )
 
 
@@ -164,8 +158,6 @@ def load(path: str, data_root: str | None = None) -> Config:
             conv_mode=str(tpu.get("CONV_MODE", TPUConfig.conv_mode)),
             zband_levels=int(tpu.get("ZBAND_LEVELS", TPUConfig.zband_levels)),
             row_from=int(tpu.get("ROW_FROM", TPUConfig.row_from)),
-            brick2_from=int(tpu.get("BRICK2_FROM", TPUConfig.brick2_from)),
-            bricks2=tuple(tpu.get("BRICKS2", TPUConfig.bricks2)),
             max_per_cell=int(tpu.get("MAX_PER_CELL", TPUConfig.max_per_cell)),
             bf16=bool(tpu.get("BF16", False)),
         ),

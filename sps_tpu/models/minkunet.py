@@ -290,15 +290,9 @@ class SpConvDown(nn.Module):
             fin = feats
             if feats.ndim == 4:  # z-folded source level: unfold for gather
                 fin = bk.unfold_z(feats, feats.shape[-1] // feats.shape[1])
-            if coarse_lvl.cross_child is not None:  # side boundary (8 -> 2)
-                out = bk.brick_conv_down_cross(
-                    fin, coarse_lvl.cross_child, coarse_lvl.cross_par, wp, occ,
-                    mask_out=self.mask_out,
-                )
-            else:
-                out = bk.brick_conv_down(
-                    fin, coarse_lvl.child, wp, occ, mask_out=self.mask_out
-                )
+            out = bk.brick_conv_down(
+                fin, coarse_lvl.child, wp, occ, mask_out=self.mask_out
+            )
             return bk.fold_z(out) if self.fold_out else out
         if _is_row(coarse_lvl):
             # Hybrid boundary: the finer features may still be brick-form
@@ -341,9 +335,9 @@ class SpConvUp(nn.Module):
             feats = sp_mod.gather_source(feats, fine_lvl, "parent", self.sp_axis)
         if _is_brick(fine_lvl):
             if fine_lvl.parent_rows is not None:
-                # Representation boundary: coarse side is rows (2-D feats)
-                # or side-2 bricks (5-D; parent_rows then hold flat slot
-                # ids row*8+local, and the flatten preserves that order).
+                # Representation boundary: the coarse side is voxel rows
+                # (2-D feats); parent_rows hold coarse ROW ids per fine
+                # parent voxel.
                 f2 = feats if feats.ndim == 2 else feats.reshape(-1, feats.shape[-1])
                 out = bk.brick_conv_up_from_rows(
                     f2, fine_lvl.parent_rows, wp, occ, mask_out=self.mask_out

@@ -53,18 +53,13 @@ class SPSConfig:
     # bricks; rows avoid phantom-slot FLOPs). None = all-brick. Row
     # capacities come from caps.voxels.
     row_from: int | None = None
-    # Alternative deep-level form: re-brick levels >= brick2_from at side
-    # 2 (atlas.rebrick_levels; caps from caps.bricks2). Cuts the deep
-    # levels' gather rows ~4x vs voxel rows. Wins over row_from if both.
-    brick2_from: int | None = None
 
 
 def build_levels_from_grid(grid, cfg: SPSConfig):
     """Topology pyramid from an existing stride-1 grid (any engine)."""
     if isinstance(grid, atl.AtlasGrid):
         if (
-            cfg.brick2_from is None
-            and cfg.row_from is not None
+            cfg.row_from is not None
             and cfg.row_from >= 3
             and cfg.brick_side == 8
         ):
@@ -80,9 +75,7 @@ def build_levels_from_grid(grid, cfg: SPSConfig):
             levels = atl.build_levels(
                 grid, num_levels=NUM_LEVELS, capacities=cfg.caps.bricks
             )
-            if cfg.brick2_from is not None:
-                levels = atl.rebrick_levels(levels, cfg.brick2_from, cfg.caps.bricks2)
-            elif cfg.row_from is not None:
+            if cfg.row_from is not None:
                 levels = atl.hybridize_levels(levels, cfg.row_from, cfg.caps.voxels)
     elif isinstance(grid, bk.BrickGrid):
         levels = bk.build_brick_levels(

@@ -566,185 +566,6 @@ def hybridize_levels(
     return out
 
 
-def rebrick_levels(levels: list, from_level: int, caps2: tuple) -> list:
-    """Convert levels[from_level:] of a side-bs brick pyramid to side-2
-    brick levels (an alternative to hybridize_levels' voxel rows).
-
-    Deep levels are sparse inside side-8 bricks (~5% slot occupancy at
-    L3/L4), but their occupied voxels cluster on 2D-ish sheets, so 2^3
-    bricks stay ~50% full. Relative to voxel rows this cuts the dominant
-    k=3 conv gather from 27 single-voxel rows per output voxel to 26
-    8-voxel slabs per ~4-voxel brick (~4x fewer gather rows — the deep
-    levels are gather-bound, not FLOP-bound), and the convs become dense
-    (B, 4, 4, 4, TC) MXU work at full channel width.
-
-    Cross-side boundary wiring (side bs -> side 2): each 2-brick's
-    (2*2)^3 fine-voxel block lies inside exactly ONE fine brick (4 | bs),
-    so the down conv uses brick.brick_conv_down_cross via
-    (cross_child, cross_par), and the fine boundary level gains
-    `parent_rows` holding flat SLOT ids (row*8 + local) into the coarse
-    2-brick slot view for its transpose conv (same contract as
-    hybridize_levels, slot-addressed instead of row-addressed)."""
-    n = len(levels)
-    assert 1 <= from_level < n
-    out: list = list(levels)
-    grids2: dict[int, AtlasGrid] = {}
-
-    # Pass 1: per-level 2-brick grids.
-    for li in range(from_level, n):
-        g8 = levels[li].grid
-        bcap8, bs = g8.coords.shape[0], g8.occ.shape[1]
-        t = g8.occ.shape[-1]
-        qp = bs // 2  # 2-bricks per source-brick axis
-        nb, nx, ny, nz = g8.extent
-        extent2 = (nb, qp * nx, qp * ny, qp * nz)
-        origin2 = g8.origin * qp
-        ncell2 = nb * (qp**3) * nx * ny * nz
-        cap2 = caps2[li]
-
-        valid8 = jnp.arange(bcap8) < g8.num_bricks
-        # Occupied-2-brick bitmap per source brick: any over (2,2,2,T).
-        o = g8.occ.reshape(bcap8, qp, 2, qp, 2, qp, 2, t)
-        occ2b = jnp.max(o, axis=(2, 4, 6, 7)) > 0  # (B8, qp, qp, qp)
-        # 2-brick coords of every (brick, sub) pair.
-        subs = np.stack(
-            np.meshgrid(np.arange(qp), np.arange(qp), np.arange(qp), indexing="ij"),
-            axis=-1,
-        ).reshape(-1, 3)  # (qp^3, 3)
-        qc = (
-            g8.coords[:, None, 1:] * qp + jnp.asarray(subs, jnp.int32)[None, :, :]
-        ).reshape(-1, 3)
-        qb = jnp.repeat(
-            jnp.where(valid8, g8.coords[:, 0], -1), qp**3
-        )
-        flat2, inb2 = _cells(qb, qc, origin2, extent2)
-        ok2 = inb2 & occ2b.reshape(-1)
-        occ_cells = (
-            jnp.zeros((ncell2 + 1,), jnp.int32)
-            .at[jnp.where(ok2, flat2, ncell2)]
-            .max(ok2.astype(jnp.int32), mode="drop")
-        )[:ncell2]
-        atlas2, coords2, num2, overflow2 = _compact(
-            occ_cells, cap2, extent2, origin2, src_cells=flat2, src_ok=ok2
-        )
-
-        # occ2: scatter every source (slot, t) into its 2-brick slot.
-        l = np.arange(bs**3)
-        lx, ly, lz = l // (bs * bs), (l // bs) % bs, l % bs
-        lq = np.stack([lx >> 1, ly >> 1, lz >> 1], -1)  # sub 2-brick
-        l2 = ((lx & 1) * 2 + (ly & 1)) * 2 + (lz & 1)  # local in 2-brick
-        vq = (
-            g8.coords[:, None, 1:] * qp + jnp.asarray(lq, jnp.int32)[None, :, :]
-        ).reshape(-1, 3)
-        vb = jnp.repeat(jnp.where(valid8, g8.coords[:, 0], -1), bs**3)
-        vflat, vinb = _cells(vb, vq, origin2, extent2)
-        a2ext = jnp.concatenate([atlas2, jnp.array([EMPTY], jnp.int32)])
-        row2 = jnp.where(vinb, a2ext[jnp.minimum(vflat, ncell2)], EMPTY)
-        slot2 = jnp.where(
-            row2 >= 0,
-            row2 * 8 + jnp.tile(jnp.asarray(l2, jnp.int32), bcap8),
-            cap2 * 8,
-        )
-        occ2 = (
-            jnp.zeros((cap2 * 8 + 1, t), g8.occ.dtype)
-            .at[slot2]
-            .max(g8.occ.reshape(-1, t), mode="drop")
-        )[: cap2 * 8].reshape(cap2, 2, 2, 2, t)
-
-        grids2[li] = AtlasGrid(
-            coords=coords2,
-            occ=occ2,
-            num_bricks=num2,
-            atlas=atlas2,
-            origin=origin2,
-            extent=extent2,
-            overflow=g8.overflow | overflow2,
-        )
-
-    # Pass 2: levels with topology tables.
-    for li in range(from_level, n):
-        g2 = grids2[li]
-        cap2 = g2.coords.shape[0]
-        valid2 = jnp.arange(cap2) < g2.num_bricks
-        batch2 = jnp.where(valid2, g2.coords[:, 0], -1)
-        nbr27 = neighbor_table(g2, np.asarray(bk.OFFS27, np.int32))
-        parent = oct_ = child = cross_child = cross_par = None
-        if li + 1 < n:  # parent links into the coarser 2-brick level
-            gc = grids2[li + 1]
-            parent = atlas_rows(gc, batch2, g2.coords[:, 1:] >> 1)
-            parent = jnp.where(valid2, parent, EMPTY)
-            oct_ = g2.coords[:, 1:] & 1
-        if li > from_level:  # child links from the finer 2-brick level
-            gf = grids2[li - 1]
-            capf = gf.coords.shape[0]
-            validf = jnp.arange(capf) < gf.num_bricks
-            octf = gf.coords[:, 1:] & 1
-            kflat = octf[:, 0] * 4 + octf[:, 1] * 2 + octf[:, 2]
-            f2c = atlas_rows(g2, jnp.where(validf, gf.coords[:, 0], -1),
-                             gf.coords[:, 1:] >> 1)
-            dest = jnp.where(validf & (f2c >= 0), f2c, cap2)
-            child = (
-                jnp.full((8, cap2 + 1), EMPTY, jnp.int32)
-                .at[kflat, dest]
-                .set(jnp.arange(capf, dtype=jnp.int32), mode="drop")
-            )[:, :cap2]
-        else:  # cross-side boundary: fine level is side-bs bricks
-            gf8 = levels[li - 1].grid
-            # Each 2-brick covers 4^3 fine voxels starting at 4q; the fine
-            # brick holding it is q // npar with sub-block q % npar, where
-            # npar = bs/4 sub-blocks per fine-brick axis (bs=8 -> q>>1, q&1).
-            npar = gf8.occ.shape[1] // 4
-            cross_child = atlas_rows(gf8, batch2, g2.coords[:, 1:] // npar)
-            cross_child = jnp.where(valid2, cross_child, EMPTY)
-            cross_par = g2.coords[:, 1:] % npar
-        out[li] = bk.BrickLevel(
-            grid=g2,
-            nbr27=nbr27,
-            parent=parent,
-            oct=oct_,
-            child=child,
-            cross_child=cross_child,
-            cross_par=cross_par,
-        )
-
-    # Fine boundary level: parent SLOT ids of its (bs/2)^3 parent-voxel
-    # block in the first 2-brick level, for the transpose conv.
-    fb = levels[from_level - 1]
-    gf8 = fb.grid
-    capf8, bs = gf8.coords.shape[0], gf8.occ.shape[1]
-    hs = bs // 2
-    g2 = grids2[from_level]
-    ncell2 = g2.atlas.shape[0]
-    validf8 = jnp.arange(capf8) < gf8.num_bricks
-    ar = np.arange(hs)
-    # Parent voxel v' = hs*c + i; 2-brick q = v' >> 1; local bit = v' & 1.
-    pvx = gf8.coords[:, 1, None] * hs + ar[None, :]  # (Bf, hs)
-    pvy = gf8.coords[:, 2, None] * hs + ar[None, :]
-    pvz = gf8.coords[:, 3, None] * hs + ar[None, :]
-    qx, qy, qz = pvx >> 1, pvy >> 1, pvz >> 1
-    q = jnp.stack(
-        [
-            jnp.broadcast_to(qx[:, :, None, None], (capf8, hs, hs, hs)),
-            jnp.broadcast_to(qy[:, None, :, None], (capf8, hs, hs, hs)),
-            jnp.broadcast_to(qz[:, None, None, :], (capf8, hs, hs, hs)),
-        ],
-        axis=-1,
-    ).reshape(-1, 3)
-    qbatch = jnp.repeat(jnp.where(validf8, gf8.coords[:, 0], -1), hs**3)
-    qflat, qinb = _cells(qbatch, q, g2.origin, g2.extent)
-    a2ext = jnp.concatenate([g2.atlas, jnp.array([EMPTY], jnp.int32)])
-    prow = jnp.where(qinb, a2ext[jnp.minimum(qflat, ncell2)], EMPTY)
-    lbit = (
-        ((pvx & 1)[:, :, None, None] * 2 + (pvy & 1)[:, None, :, None]) * 2
-        + (pvz & 1)[:, None, None, :]
-    ).reshape(-1)
-    pslot = jnp.where(prow >= 0, prow * 8 + lbit, EMPTY)
-    out[from_level - 1] = fb._replace(
-        parent_rows=pslot.reshape(capf8, hs, hs, hs)
-    )
-    return out
-
-
 def _hybrid_child(
     bl,
     fine_bl,

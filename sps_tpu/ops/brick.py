@@ -65,17 +65,10 @@ class BrickLevel(NamedTuple):
     parent: jnp.ndarray | None  # (B,) coarse brick row
     oct: jnp.ndarray | None  # (B, 3) octant (bcoords & 1) per axis
     child: jnp.ndarray | None  # (8, B) fine brick rows (OCT_OFFSETS order)
-    # Hybrid pyramids only (atlas.hybridize_levels / rebrick_levels):
-    # coarse ROW-or-SLOT ids of this level's (bs/2)^3 parent-voxel block,
-    # (B, bs/2, bs/2, bs/2) — set on the fine level just below a
-    # representation boundary (rows, or bricks of a different side).
+    # Hybrid pyramids only (atlas.hybridize_levels): coarse ROW ids of
+    # this level's (bs/2)^3 parent-voxel block, (B, bs/2, bs/2, bs/2) —
+    # set on the fine level just below the brick->row boundary.
     parent_rows: jnp.ndarray | None = None
-    # Cross-side boundary only (atlas.rebrick_levels): this level's bricks
-    # (side cs) each cover a (2cs)^3 fine-voxel block inside exactly one
-    # fine brick: cross_child (B,) fine brick row, cross_par (B, 3)
-    # sub-block index. Consumed by brick.brick_conv_down_cross.
-    cross_child: jnp.ndarray | None = None
-    cross_par: jnp.ndarray | None = None
     # Spatial sharding, ghost-exchange mode only (parallel/spatial.py):
     # per-table lists of GLOBAL source rows this shard needs from other
     # shards. When set, the corresponding table (nbr27 / child / parent or
@@ -538,24 +531,17 @@ def brick_conv_zband(
     Returns (B', bs, bs, bs*TCout) — output stays folded, so the masks, BN,
     residual adds and skip concats that follow never pay a layout copy.
     `center`: local output-domain block of zfeats (see halo)."""
+    from sps_tpu.ops import pallas_conv
+
     k = w_dense.shape[0]
     pad = k // 2
     bs = zfeats.shape[1]
     tcin = zfeats.shape[-1] // bs
     h = halo_z(zfeats, nbr27, pad, tcin, center=center)
     wz = pack_zband_kernel(w_dense, bs, pad)
-    out = jax.lax.conv_general_dilated(
-        h,
-        wz,
-        window_strides=(1, 1),
-        padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        precision=(
-            jax.lax.Precision.HIGHEST
-            if h.dtype == jnp.float32
-            else jax.lax.Precision.DEFAULT
-        ),
-    )
+    # Pallas banded-matmul kernel (~135 TF/s on v5e vs ~45 TF/s for the
+    # XLA conv lowering of the same contraction); XLA fallback on CPU.
+    out = pallas_conv.zband_conv(h, wz, k, bs)
     return mask_bricks(out, occz) if mask_out else out
 
 
@@ -742,53 +728,6 @@ def brick_conv_up(
     for k2, (a, b2, c2) in enumerate(OCT_OFFSETS):
         out = out.at[:, a::2, b2::2, c2::2].set(sub @ w_packed[k2])
     return mask_bricks(out, occ_fine) if mask_out else out
-
-
-def brick_conv_down_cross(
-    fine_feats: jnp.ndarray,
-    cross_child: jnp.ndarray,
-    cross_par: jnp.ndarray,
-    w_packed: jnp.ndarray,
-    occ_coarse: jnp.ndarray,
-    *,
-    mask_out: bool = True,
-) -> jnp.ndarray:
-    """Kernel-2 stride-2 conv across a brick-side boundary: each coarse
-    brick of side cs covers a (2cs)^3 fine-voxel block that lies inside
-    EXACTLY ONE fine brick of side bs >= 2cs (because 2cs divides bs), at
-    a sub-block offset selected by cross_par.
-
-    fine_feats: (Bf, bs, bs, bs, T*Cin) fine brick features.
-    cross_child: (Bc,) fine brick row holding the block (EMPTY if absent).
-    cross_par: (Bc, 3) sub-block index per axis (0 .. bs/(2cs) - 1).
-    w_packed: (8, T*Cin, T*Cout) OCT_OFFSETS order.
-    occ_coarse: (Bc, cs, cs, cs, T)."""
-    bs = fine_feats.shape[1]
-    cs = occ_coarse.shape[1]
-    w = 2 * cs  # fine-voxel block edge
-    npar = bs // w
-    tcin = fine_feats.shape[-1]
-    bf = fine_feats.shape[0]
-    bc = cross_child.shape[0]
-    # One stacked gather over the npar^3 pre-sliced sub-block classes
-    # (same grouping trick as halo: equal flattened lengths per class).
-    srcs = []
-    for a in range(npar):
-        for b2 in range(npar):
-            for c2 in range(npar):
-                sl = fine_feats[
-                    :, a * w : (a + 1) * w, b2 * w : (b2 + 1) * w, c2 * w : (c2 + 1) * w
-                ]
-                srcs.append(sl.reshape(bf, -1))
-    stack = jnp.concatenate(srcs, axis=0)  # (npar^3 * Bf, w^3*TCin)
-    kidx = (cross_par[:, 0] * npar + cross_par[:, 1]) * npar + cross_par[:, 2]
-    flat_idx = jnp.where(cross_child >= 0, kidx * bf + cross_child, -1)
-    big = take_rows(stack, flat_idx).reshape(bc, w, w, w, tcin)
-    x = big.reshape(bc, cs, 2, cs, 2, cs, 2, tcin)
-    acc = 0.0
-    for k2, (a, b2, c2) in enumerate(OCT_OFFSETS):
-        acc = acc + x[:, :, a, :, b2, :, c2, :] @ w_packed[k2]
-    return mask_bricks(acc, occ_coarse) if mask_out else acc
 
 
 def brick_conv_up_from_rows(

@@ -194,8 +194,6 @@ def slice_levels(levels: list, axis: str, ghost_frac: float = 0.0) -> list:
                     oct=_s0(lv.oct, axis),
                     child=_s1(lv.child, axis),
                     parent_rows=_s0(lv.parent_rows, axis),
-                    cross_child=_s0(lv.cross_child, axis),
-                    cross_par=_s0(lv.cross_par, axis),
                 )
             )
         else:  # ops.topology gather-engine level
@@ -232,11 +230,6 @@ def _slice_levels_ghost(levels: list, axis: str, frac: float) -> list:
 
     out: list = []
     for li, lv in enumerate(levels):
-        if isinstance(lv, bk.BrickLevel) and lv.cross_child is not None:
-            raise NotImplementedError(
-                "ghost-exchange sp does not support rebricked (brick2) "
-                "pyramids; use ghost_frac=0 or row_from"
-            )
         is_row = isinstance(lv, atl.RowLevel)
         cap = lv.grid.occ.shape[0]
         over = lv.grid.overflow

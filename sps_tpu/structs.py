@@ -72,9 +72,6 @@ class Capacities:
     points: int = 1 << 18
     voxels: tuple = (1 << 17, 1 << 15, 1 << 13, 1 << 11, 1 << 9)
     bricks: tuple = (1 << 14, 1 << 13, 1 << 12, 1 << 11, 1 << 10)
-    # per-level 2^3-brick capacities (atlas.rebrick_levels deep levels);
-    # only the rebricked (deep) entries are read.
-    bricks2: tuple = (1 << 13, 1 << 12, 1 << 11, 1 << 10, 1 << 9)
 
     def scaled(self, factor: float) -> "Capacities":
         def rup(x):
@@ -87,5 +84,4 @@ class Capacities:
             points=rup(int(self.points * factor)),
             voxels=tuple(rup(int(v * factor)) for v in self.voxels),
             bricks=tuple(rup(int(v * factor)) for v in self.bricks),
-            bricks2=tuple(rup(int(v * factor)) for v in self.bricks2),
         )

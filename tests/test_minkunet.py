@@ -279,34 +279,6 @@ def test_aliased_row_levels_match_gather_engine():
             err_msg=f"aliased row_from={row_from}",
         )
 
-
-def test_brick2_deep_levels_match_gather_engine():
-    """Side-2 re-bricked deep levels (atlas.rebrick_levels) must score
-    identically to the gather oracle — same convolution, packed 2^3."""
-    import dataclasses
-
-    rng = np.random.default_rng(23)
-    pb = _batch(rng, 500)
-    for side, b2_from in ((4, 2), (8, 3)):
-        cfg_b2 = dataclasses.replace(
-            CFG,
-            engine="atlas",
-            brick_side=side,
-            atlas_extent=(2, 32, 32, 32),
-            brick2_from=b2_from,
-        )
-        model_g = SPSModel(CFG)
-        model_b = SPSModel(cfg_b2)
-        variables = model_g.init(jax.random.PRNGKey(0), pb)
-        sg, _ = jax.jit(lambda v, b: model_g.apply(v, b))(variables, pb)
-        sb, auxb = jax.jit(lambda v, b, m=model_b: m.apply(v, b))(variables, pb)
-        assert not bool(np.asarray(auxb["overflow"]).any()), f"side={side}"
-        np.testing.assert_allclose(
-            np.asarray(sb), np.asarray(sg), rtol=2e-3, atol=2e-4,
-            err_msg=f"side={side} brick2_from={b2_from}",
-        )
-
-
 def test_zband_conv_mode_matches_gather_engine():
     """z-folded brick layout (conv_mode="zband") must score identically:
     it is the same convolution, folded so minor dims stay lane-aligned."""
