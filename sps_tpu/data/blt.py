@@ -72,6 +72,55 @@ def load_sequences_raw(root: str, seqs) -> tuple[list[np.ndarray], list[np.ndarr
     return scans, poses
 
 
+def sequence_files(root: str, seq: str) -> tuple[list[str], list[np.ndarray]]:
+    """Scan file paths + composed (map_transform @ pose) per scan, WITHOUT
+    loading the scans — the streaming replay path hands the paths to the
+    native prefetching Replayer (csrc/sps_io.cpp) so sequences larger than
+    host RAM stream instead of eager-loading (reference analog: rosbag
+    streaming via pub_scans.py)."""
+    sdir = os.path.join(root, "sequence", seq)
+    scan_dir = os.path.join(sdir, "scans")
+    pose_dir = os.path.join(sdir, "poses")
+    names = sorted(os.listdir(scan_dir))
+    pnames = sorted(os.listdir(pose_dir))
+    assert len(names) == len(pnames), f"scan/pose count mismatch in {seq}"
+    map_tr = np.loadtxt(os.path.join(sdir, "map_transform"), delimiter=",")
+    paths = [os.path.join(scan_dir, sn) for sn in names]
+    poses = [
+        (map_tr @ np.loadtxt(os.path.join(pose_dir, pn), delimiter=",")).astype(
+            np.float32
+        )
+        for pn in pnames
+    ]
+    return paths, poses
+
+
+def prefetched(it, depth: int = 2):
+    """Wrap an iterator with a worker thread + bounded queue so the host
+    assembles batch i+1 while the device runs step i (the reference gets
+    this from DataLoader workers, blt_dataset.py:132)."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    stop = object()
+
+    def worker():
+        try:
+            for item in it:
+                q.put(item)
+        finally:
+            q.put(stop)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is stop:
+            return
+        yield item
+
+
 def load_map(root: str, map_file: str) -> np.ndarray:
     """(M, 3) float32 map points (labels, if present, are dropped —
     blt_dataset.py:49-55 keeps [:, :4]; only xyz feeds the pipeline)."""

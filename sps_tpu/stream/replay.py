@@ -62,7 +62,14 @@ def replay_sequence(
       out_dir: if set, write filtered clouds as .npy (the reference
         publishes /cloud_filtered; files are our transport).
     """
-    seqs = blt.load_sequences(cfg.data.root, [sequence])
+    # Streamed, not eager: scan paths go to the native prefetching
+    # Replayer (csrc/sps_io.cpp — a worker thread loads + pads scan i+1
+    # while scan i is on the device), so sequences larger than host RAM
+    # replay fine. Scans arrive sensor-frame and the composed
+    # map_transform@pose rides along, exactly the reference node's inputs
+    # (sps_node.py:36-41 synchronizes Odometry + PointCloud2; the pose is
+    # applied on-device inside the filter).
+    paths, poses = blt.sequence_files(cfg.data.root, [sequence][0])
     map_points = blt.load_map(cfg.data.root, cfg.data.map_file)
     filt = StreamingFilter(cfg, variables, map_points)
     ns = cfg.tpu.scan_points
@@ -70,38 +77,39 @@ def replay_sequence(
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
 
-    # Scans are already map-frame after load_sequences; the node path
-    # receives sensor-frame clouds + poses, so this exercises pose=I.
-    #
+    from sps_tpu import native
+
+    replayer = native.Replayer(paths, cap_rows=ns, cols=4)
+
     # Metric/score fetches are DEFERRED past the replay loop: on the axon
     # runtime the first device->host value fetch permanently degrades
     # dispatch latency (see sps_tpu/stream/engine.py), so the loop only
-    # blocks on readiness and keeps device arrays.
-    pose = np.eye(4, dtype=np.float32)
+    # blocks on readiness and keeps device arrays. The sensor-frame scan
+    # slice is retained on host only when exporting filtered clouds.
     pending = []
-    for i, scan in enumerate(seqs.scans):
+    for i, (padded, n) in enumerate(replayer):
         t0 = time.perf_counter()
-        n = min(len(scan), ns)
-        sx = np.zeros((ns, 3), np.float32)
-        sl = np.zeros((ns,), np.float32)
+        n = min(n, ns)
+        sx = np.ascontiguousarray(padded[:, :3])
+        sl = np.ascontiguousarray(padded[:, 3])
         sv = np.zeros((ns,), bool)
-        sx[:n], sl[:n], sv[:n] = scan[:n, :3], scan[:n, 3], True
-        scores, keep, m = filt(sx, sv, sl, pose)
+        sv[:n] = True
+        scores, keep, m = filt(sx, sv, sl, poses[i])
         jax.block_until_ready((scores, keep))
         t_total = time.perf_counter() - t0
-        pending.append((i, n, t_total, keep, m))
+        pending.append((i, n, t_total, keep, m, padded[:n] if out_dir else None))
         if rate > 0:
             sleep = 1.0 / rate - (time.perf_counter() - t0)
             if sleep > 0:
                 time.sleep(sleep)
+    replayer.close()
 
-    for i, n, t_total, keep, m in pending:
+    for i, n, t_total, keep, m, scan in pending:
         keep_np = np.asarray(keep)[:n]
         if out_dir:
-            scan = seqs.scans[i]
             np.save(
                 os.path.join(out_dir, f"{i:06d}.npy"),
-                scan[:n][keep_np].astype(np.float32),
+                scan[keep_np].astype(np.float32),
             )
         hz = 1.0 / max(t_total, 1e-9)
         row = dict(

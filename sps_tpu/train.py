@@ -273,8 +273,14 @@ def fit(cfg: Config, log_dir: str = "./tb_logs", ckpt_dir: str = "./checkpoints"
         )
     t0 = time.time()
     for epoch in range(start_epoch, cfg.train.max_epoch):
-        for batch in data.batches(
-            data.train, cfg.train.batch_size, cfg.data.shuffle, seed=seed + epoch
+        # Host batch assembly overlaps device compute (DataLoader-worker
+        # analog): batch i+1 pads on a worker thread during step i.
+        from sps_tpu.data.blt import prefetched
+
+        for batch in prefetched(
+            data.batches(
+                data.train, cfg.train.batch_size, cfg.data.shuffle, seed=seed + epoch
+            )
         ):
             rng, sk = jax.random.split(rng)
             hb = {k: jnp.asarray(v) for k, v in batch.items() if k != "indices"}

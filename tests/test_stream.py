@@ -103,3 +103,59 @@ def test_map_table_counts():
     table, nvox = build_map_table(pts, 0.5)
     want = len({tuple(v) for v in np.floor(pts / 0.5).astype(np.int64)})
     assert nvox == want
+
+
+def test_replay_sequence_streams_via_native_replayer(tmp_path):
+    """End-to-end replay driver: scans stream through the native Replayer
+    (sensor-frame + per-scan pose, the reference node's inputs), filtered
+    clouds export, and the per-scan log/stat rows materialize."""
+    from sps_tpu.data import synthetic
+    from sps_tpu.stream import replay
+
+    root = str(tmp_path / "data")
+    synthetic.generate(root, sequences=("s0",), scans_per_seq=3, n_rays=120,
+                       ground_points=1500, n_stable=4)
+    cfg = dataclasses.replace(
+        _small_cfg(),
+        data=cfg_mod.DataConfig(root=root),
+        tpu=dataclasses.replace(
+            _small_cfg().tpu, scan_points=4096, submap_points=4096
+        ),
+    )
+    state = tr.create_state(cfg, jax.random.PRNGKey(0), 1)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    out_dir = str(tmp_path / "filtered")
+    rows = []
+    stats = replay.replay_sequence(
+        cfg, variables, "s0", out_dir=out_dir, log=rows.append
+    )
+    assert len(stats.rows) == 3 and len(rows) == 3
+    s = stats.summary()
+    assert s["scans_per_sec"] > 0
+    import os as _os
+
+    files = sorted(_os.listdir(out_dir))
+    assert files == ["000000.npy", "000001.npy", "000002.npy"]
+    kept = np.load(_os.path.join(out_dir, files[0]))
+    assert kept.ndim == 2 and kept.shape[1] == 4
+    # Kept count matches the engine's report for that scan.
+    assert len(kept) == stats.rows[0]["n_kept"]
+
+
+def test_nclt_config_scales_blt():
+    """config_nclt.yaml (BASELINE.md measurement config #3) must dominate
+    the BLT config: same per-scan capacities, strictly larger map-side
+    extents/caps, so a model/filter built for BLT runs at NCLT scale by a
+    config swap (headroom itself is validated on hardware by
+    scripts/check_nclt_headroom.py)."""
+    import os
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    blt = cfg_mod.load(os.path.join(here, "config", "config.yaml"), data_root="/tmp")
+    nclt = cfg_mod.load(os.path.join(here, "config", "config_nclt.yaml"), data_root="/tmp")
+    assert nclt.tpu.scan_points == blt.tpu.scan_points
+    assert all(n >= b for n, b in zip(nclt.tpu.bricks, blt.tpu.bricks))
+    assert all(n >= b for n, b in zip(nclt.tpu.atlas_extent, blt.tpu.atlas_extent))
+    ext = nclt.tpu.atlas_extent
+    # >= 220 m of horizontal coverage at 0.1 m voxels, side-8 bricks.
+    assert ext[0] * 8 * nclt.voxel_size >= 220.0
