@@ -33,8 +33,12 @@ import numpy as np
 @click.option("--runs", type=int, default=1)
 @click.option("--data", type=str, default=None)
 @click.option("--init-noise", type=float, default=0.0)
+@click.option("--baseline-weights", type=str, default=None,
+              help="dir with {mos4d,mapmos,lts} checkpoints "
+                   "(scripts/train_baselines.py); random init if absent")
 @click.option("--out", type=str, default="./exp_results")
-def main(config, weights, sequences, filters, runs, data, init_noise, out):
+def main(config, weights, sequences, filters, runs, data, init_noise,
+         baseline_weights, out):
     import jax
 
     from sps_tpu import config as cfg_mod
@@ -70,6 +74,7 @@ def main(config, weights, sequences, filters, runs, data, init_noise, out):
                     r = loc.run_localization(
                         cfg, variables, seq, flt,
                         init_noise=init_noise, seed=run,
+                        baseline_weights=baseline_weights,
                     )
                     r.update(run=run, seq=seq, wall_s=round(time.time() - t0, 1))
                     results.append(r)

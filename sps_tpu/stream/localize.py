@@ -55,10 +55,29 @@ def cv_predict(poses: list[np.ndarray], k: int = 3) -> np.ndarray:
     return poses[-1] @ delta
 
 
-def _make_baseline_filter(cfg: Config, mode: str, map_points: np.ndarray):
-    """Instantiate a baseline filter node (random-init weights — their
-    checkpoints are separate artifacts in the reference; converted weights
-    can be swapped into .variables)."""
+def _baseline_variables(weights_dir: str | None, mode: str):
+    """Restore {params, batch_stats} from <weights_dir>/<mode> (written by
+    scripts/train_baselines.py) if present, else None (random init)."""
+    import os
+
+    if not weights_dir:
+        return None
+    path = os.path.join(weights_dir, mode)
+    if not os.path.isdir(path):
+        return None
+    from sps_tpu.utils import checkpoint as ckpt
+
+    r = ckpt.restore(path)
+    return {"params": r["params"], "batch_stats": r["batch_stats"]}
+
+
+def _make_baseline_filter(
+    cfg: Config, mode: str, map_points: np.ndarray, weights_dir: str | None = None
+):
+    """Instantiate a baseline filter node. Weights come from
+    scripts/train_baselines.py checkpoints when weights_dir has them (the
+    reference's pretrained artifacts: 10_scans.ckpt / mapmos.ckpt /
+    best_model.pth); random init otherwise."""
     from sps_tpu.models.mapmos import MapMOSConfig, MapMOSNet
     from sps_tpu.models.mos4d import MOS4DConfig, MOS4DNet
     from sps_tpu.stream import baselines as bl
@@ -66,35 +85,39 @@ def _make_baseline_filter(cfg: Config, mode: str, map_points: np.ndarray):
 
     ns = cfg.tpu.scan_points
     caps = cfg.sps_config(batch_size=1).caps
+    variables = _baseline_variables(weights_dir, mode)
     if mode == "mos4d":
         mcfg = MOS4DConfig(voxel_size=cfg.voxel_size, n_scans=4, caps=caps)
-        dummy = pad_point_batch(
-            np.zeros((8, 3), np.float32), np.zeros(8), np.zeros(8),
-            np.zeros(8), mcfg.n_scans * ns,
-        )
-        variables = MOS4DNet(mcfg).init(jax.random.PRNGKey(0), dummy)
+        if variables is None:
+            dummy = pad_point_batch(
+                np.zeros((8, 3), np.float32), np.zeros(8), np.zeros(8),
+                np.zeros(8), mcfg.n_scans * ns,
+            )
+            variables = MOS4DNet(mcfg).init(jax.random.PRNGKey(0), dummy)
         return bl.MOS4DFilter(mcfg, variables, ns)
     if mode == "mapmos":
         mcfg = MapMOSConfig(voxel_size=cfg.voxel_size, caps=caps)
         nm = cfg.tpu.submap_points
-        dummy = pad_point_batch(
-            np.zeros((8, 3), np.float32), np.zeros(8), np.zeros(8),
-            np.zeros(8), ns + nm,
-        )
-        variables = MapMOSNet(mcfg).init(
-            jax.random.PRNGKey(0), dummy, jnp.zeros((ns + nm,), jnp.float32)
-        )
+        if variables is None:
+            dummy = pad_point_batch(
+                np.zeros((8, 3), np.float32), np.zeros(8), np.zeros(8),
+                np.zeros(8), ns + nm,
+            )
+            variables = MapMOSNet(mcfg).init(
+                jax.random.PRNGKey(0), dummy, jnp.zeros((ns + nm,), jnp.float32)
+            )
         return bl.MapMOSFilter(mcfg, variables, map_points, ns, nm)
     if mode == "lts":
         from sps_tpu.data.range_image import LIDAR_PARAMS
         from sps_tpu.models.lts import SPCTReg
 
         p = LIDAR_PARAMS["vlp-16"]
-        model = SPCTReg()
-        variables = model.init(
-            jax.random.PRNGKey(0),
-            jnp.zeros((2, p["num_beams"] * p["window_size"], 3), jnp.float32),
-        )
+        if variables is None:
+            model = SPCTReg()
+            variables = model.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((2, p["num_beams"] * p["window_size"], 3), jnp.float32),
+            )
         return bl.LTSFilter(variables, epsilon=cfg.threshold)
     raise ValueError(mode)
 
@@ -108,6 +131,7 @@ def run_localization(
     init_noise: float = 0.0,
     prior: str = "cv",
     seed: int = 0,
+    baseline_weights: str | None = None,
     log=print,
 ) -> dict:
     """Returns {ate_rmse, per-scan errors, kept fraction}.
@@ -126,15 +150,37 @@ def run_localization(
     vmap_coarse = reg.build_voxel_map(map_points, voxel_size=16 * cfg.voxel_size)
     vmap = reg.build_voxel_map(map_points, voxel_size=4 * cfg.voxel_size)
     filt = None
-    if filter_mode in ("sps", "mask"):
+    mask_fn = None
+    if filter_mode == "sps":
         filt = StreamingFilter(cfg, variables, map_points)
+    elif filter_mode == "mask":
+        # Voxel-overlap-only baseline at the reference's semantics
+        # (mask.py:61,108-113: quantize at ds = MODEL.VOXEL_SIZE, keep the
+        # scan's map-overlapping voxels; we keep the original points of
+        # those voxels rather than publishing dequantized voxel corners).
+        from sps_tpu.ops import hash as vhash
+        from sps_tpu.ops import voxelize as vox
+        from sps_tpu.stream.engine import build_map_table
+
+        mask_table, _ = build_map_table(map_points, cfg.voxel_size)
+
+        @jax.jit
+        def mask_fn(table, sx, sv, pose):
+            pts = transform_points(sx, pose)
+            coords = vox.quantize(pts, cfg.voxel_size)
+            q = jnp.concatenate(
+                [jnp.zeros((sx.shape[0], 1), jnp.int32), coords], axis=-1
+            )
+            return (vhash.lookup(table, q, sv) >= 0) & sv
     elif filter_mode in ("mos4d", "mapmos", "lts"):
         # Baseline filter nodes (reference loc_exp_general.bash:71-111 runs
         # these in the same loop). Their checkpoints are separate artifacts
         # in the reference (10_scans.ckpt / mapmos.ckpt / best_model.pth);
         # without converted weights we initialize randomly — the plumbing
         # and timing are exercised, the filtering quality is not.
-        filt = _make_baseline_filter(cfg, filter_mode, map_points)
+        filt = _make_baseline_filter(
+            cfg, filter_mode, map_points, weights_dir=baseline_weights
+        )
     eps = cfg.threshold if filter_mode == "sps" else None
     ns = cfg.tpu.scan_points
     rng = np.random.default_rng(seed)
@@ -167,23 +213,13 @@ def run_localization(
             scores, keep_d, stats = filt(sx, sv, sl, guess.astype(np.float32))
             keep = np.asarray(keep_d)
         elif filter_mode == "mask":
-            # Voxel-overlap-only filter (the reference's mask.py baseline):
-            # keep points whose voxel overlaps the map under the prior.
-            scores, keep_d, stats = filt(sx, sv, sl, guess.astype(np.float32))
-            # overlap info comes via the submap occupancy in the engine;
-            # approximate by keeping points the model path marked as
-            # overlapping is not exposed, so use score validity: keep all
-            # valid points that fall in map voxels via a direct test.
-            pts = transform_points(jnp.asarray(sx), jnp.asarray(guess))
-            from sps_tpu.ops import voxelize as vox
-            from sps_tpu.ops import hash as vhash
-
-            coords = vox.quantize(pts, 4 * cfg.voxel_size)
-            q = jnp.concatenate(
-                [jnp.zeros((ns, 1), jnp.int32), coords], axis=-1
-            )
             keep = np.asarray(
-                (vhash.lookup(vmap.table, q, jnp.asarray(sv)) >= 0)
+                mask_fn(
+                    mask_table,
+                    jnp.asarray(sx),
+                    jnp.asarray(sv),
+                    jnp.asarray(guess.astype(np.float32)),
+                )
             ) & sv
         elif filter_mode in ("mos4d", "mapmos"):
             km = filt(scan[:n, :3].astype(np.float32), guess.astype(np.float32))
