@@ -23,6 +23,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from flax.training import train_state
 
@@ -204,6 +205,38 @@ def fit(cfg: Config, log_dir: str = "./tb_logs", ckpt_dir: str = "./checkpoints"
     state = create_state(cfg, rng, steps_per_epoch)
     logger = JSONLLogger(log_dir, cfg.experiment_id)
 
+    # Device-resident dataset: pad every scan once and keep the split in
+    # HBM; each step slices its batch with an on-device gather. Removes
+    # the per-step host->device scan upload from the loop (PCIe-cheap on
+    # a real host, minutes-per-epoch through the axon tunnel) — the TPU
+    # input-pipeline analog of tf.data's cache-on-device.
+    def _device_split(split):
+        ns = cfg.tpu.scan_points
+        n = len(split.scans)
+        xyz = np.zeros((n, ns, 3), np.float32)
+        label = np.zeros((n, ns), np.float32)
+        valid = np.zeros((n, ns), bool)
+        for i, scan in enumerate(split.scans):
+            k = min(len(scan), ns)
+            if len(scan) > ns:
+                raise ValueError(
+                    f"scan {i} has {len(scan)} points > capacity {ns}"
+                )
+            xyz[i, :k], label[i, :k], valid[i, :k] = scan[:k, :3], scan[:k, 3], True
+        return {
+            "xyz": jnp.asarray(xyz),
+            "label": jnp.asarray(label),
+            "valid": jnp.asarray(valid),
+        }
+
+    dev_bytes = sum(len(s.scans) for s in (data.train, data.val)) * (
+        cfg.tpu.scan_points * 17
+    )
+    device_data = devices == 1 and dev_bytes < (2 << 30)
+    if device_data:
+        train_dev = _device_split(data.train)
+        val_dev = _device_split(data.val)
+
     dp_step = None
     if devices > 1:
         if devices > len(jax.devices()):
@@ -271,19 +304,43 @@ def fit(cfg: Config, log_dir: str = "./tb_logs", ckpt_dir: str = "./checkpoints"
             + (" (mid-epoch save: interrupted epoch replays)" if mid_epoch else ""),
             flush=True,
         )
-    t0 = time.time()
-    for epoch in range(start_epoch, cfg.train.max_epoch):
-        # Host batch assembly overlaps device compute (DataLoader-worker
-        # analog): batch i+1 pads on a worker thread during step i.
+    def _epoch_batches(epoch):
+        """Yield device batch dicts: device-resident gathers when the
+        split lives in HBM, else host-padded + per-step upload (the
+        multi-chip path, where the batch must shard over dp)."""
+        bsz = cfg.train.batch_size
+        if device_data:
+            n = train_dev["xyz"].shape[0]
+            idx = np.arange(n)
+            if cfg.data.shuffle:
+                np.random.default_rng(seed + epoch).shuffle(idx)
+            for i in range(0, n, bsz):
+                sel = jnp.asarray(idx[i : i + bsz])
+                if len(idx[i : i + bsz]) < bsz:  # pad the tail batch
+                    sel = jnp.concatenate(
+                        [sel, jnp.zeros((bsz - sel.shape[0],), sel.dtype)]
+                    )
+                    yield {
+                        k: v[sel]
+                        .at[len(idx[i : i + bsz]):]
+                        .set(0 if k != "valid" else False)
+                        for k, v in train_dev.items()
+                    }
+                else:
+                    yield {k: v[sel] for k, v in train_dev.items()}
+            return
+        # Host path: batch i+1 pads on a worker thread during step i.
         from sps_tpu.data.blt import prefetched
 
         for batch in prefetched(
-            data.batches(
-                data.train, cfg.train.batch_size, cfg.data.shuffle, seed=seed + epoch
-            )
+            data.batches(data.train, bsz, cfg.data.shuffle, seed=seed + epoch)
         ):
+            yield {k: jnp.asarray(v) for k, v in batch.items() if k != "indices"}
+
+    t0 = time.time()
+    for epoch in range(start_epoch, cfg.train.max_epoch):
+        for hb in _epoch_batches(epoch):
             rng, sk = jax.random.split(rng)
-            hb = {k: jnp.asarray(v) for k, v in batch.items() if k != "indices"}
             if dp_step is not None:
                 state, m = dp_step(state, hb, map_points, jax.random.split(sk, devices))
             else:
@@ -305,9 +362,23 @@ def fit(cfg: Config, log_dir: str = "./tb_logs", ckpt_dir: str = "./checkpoints"
                 return last_path
         # Validation.
         vals = []
-        for batch in data.batches(data.val, cfg.train.batch_size, False):
-            hb = {k: jnp.asarray(v) for k, v in batch.items() if k != "indices"}
-            vals.append(eval_step(state, hb, map_points, cfg=cfg))
+        if device_data:
+            n = val_dev["xyz"].shape[0]
+            bsz = cfg.train.batch_size
+            for i in range(0, n - bsz + 1, bsz):  # drop ragged tail
+                sel = jnp.arange(i, i + bsz)
+                hb = {k: v[sel] for k, v in val_dev.items()}
+                vals.append(eval_step(state, hb, map_points, cfg=cfg))
+            if not vals:  # split smaller than one batch: pad
+                hb = {
+                    k: jnp.concatenate([v, jnp.zeros_like(v)] * bsz, 0)[:bsz]
+                    for k, v in val_dev.items()
+                }
+                vals.append(eval_step(state, hb, map_points, cfg=cfg))
+        else:
+            for batch in data.batches(data.val, cfg.train.batch_size, False):
+                hb = {k: jnp.asarray(v) for k, v in batch.items() if k != "indices"}
+                vals.append(eval_step(state, hb, map_points, cfg=cfg))
         vloss = float(jnp.mean(jnp.stack([v["loss"] for v in vals])))
         vr2 = float(jnp.mean(jnp.stack([v["r2"] for v in vals])))
         logger.log(step, epoch=epoch, val_loss=vloss, val_r2=vr2)
