@@ -62,6 +62,9 @@ class TPUConfig:
     row_from: int = 0
     max_per_cell: int = 8
     bf16: bool = False
+    # Rematerialize residual blocks in the backward pass (training memory
+    # vs FLOPs trade; see MinkUNetConfig.remat).
+    remat: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -109,6 +112,7 @@ class Config:
                 dtype=jnp.bfloat16 if self.tpu.bf16 else jnp.float32,
                 conv_mode=self.tpu.conv_mode,
                 zband_levels=self.tpu.zband_levels,
+                remat=self.tpu.remat,
             ),
             engine=self.tpu.engine,
             brick_side=self.tpu.brick_side,
@@ -160,5 +164,6 @@ def load(path: str, data_root: str | None = None) -> Config:
             row_from=int(tpu.get("ROW_FROM", TPUConfig.row_from)),
             max_per_cell=int(tpu.get("MAX_PER_CELL", TPUConfig.max_per_cell)),
             bf16=bool(tpu.get("BF16", False)),
+            remat=bool(tpu.get("REMAT", False)),
         ),
     )

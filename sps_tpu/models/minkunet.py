@@ -61,6 +61,11 @@ class MinkUNetConfig:
     # only where channels are tiny (L0: 16-32 of 128 lanes). Deeper levels
     # run the plain dense-brick conv ("halo" assembly).
     zband_levels: int = 1
+    # Rematerialize each residual block in the backward pass
+    # (jax.checkpoint): activation memory drops ~[number of saved block
+    # outputs]x for ~1/3 extra forward FLOPs — the TPU-idiomatic trade
+    # when training at large capacities brushes the HBM ceiling.
+    remat: bool = False
     # Spatial sharding (parallel/spatial.py): name of the mesh axis over
     # which the brick/row dimension of every level is sharded. When set,
     # activations flow between convs as device-LOCAL blocks; each conv
@@ -136,12 +141,24 @@ class MaskedBatchNorm(nn.Module):
     sp_axis: str | None = None  # see MinkUNetConfig.sp_axis
 
     @nn.compact
-    def __call__(self, feats: jnp.ndarray, occ: jnp.ndarray, train: bool):
+    def __call__(self, feats: jnp.ndarray, occ: jnp.ndarray, train: bool,
+                 affine: bool = False):
         c = self.features
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
         ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((c,)))
         ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((c,)))
+
+        if affine:
+            # Inference affine query (fused zband path): return the
+            # per-channel (scale', bias') such that BN(x) = x*scale'+bias'
+            # under running stats; the caller fuses them into the conv
+            # epilogue (ops.pallas_conv.zband_conv_fused).
+            inv = jnp.reciprocal(jnp.sqrt(ra_var.value + self.eps))
+            return (
+                (inv * scale).astype(jnp.float32),
+                (bias - ra_mean.value * inv * scale).astype(jnp.float32),
+            )
 
         shp = feats.shape
         dtype = feats.dtype
@@ -206,7 +223,10 @@ class SpConv(nn.Module):
     sp_axis: str | None = None  # see MinkUNetConfig.sp_axis
 
     @nn.compact
-    def __call__(self, feats, lvl, occ):
+    def __call__(self, feats, lvl, occ, epilogue=None):
+        """epilogue (folded zband brick levels, inference only): dict with
+        per-channel BN 'scale'/'bias', channel-repeated 'occ_rep', optional
+        masked 'res', and 'relu' — fused into the Pallas conv kernel."""
         k = self.ksize**3
         w = self.param("kernel", _kaiming, (k, self.time_kernel, self.cin, self.cout))
         w = w.astype(feats.dtype)
@@ -244,6 +264,14 @@ class SpConv(nn.Module):
         if _is_brick(lvl):
             wd = bk.pack_dense_kernel(w, self.num_time)
             if feats.ndim == 4:
+                if epilogue is not None:
+                    return bk.brick_conv_zband_fused(
+                        feats, lvl.nbr27, wd,
+                        epilogue["scale"], epilogue["bias"],
+                        epilogue["occ_rep"], epilogue.get("res"),
+                        num_time=self.num_time,
+                        relu=epilogue.get("relu", True), center=center,
+                    )
                 return bk.brick_conv_zband(
                     feats, lvl.nbr27, wd, occ, mask_out=self.mask_out,
                     center=center,
@@ -377,6 +405,49 @@ class BasicBlock(nn.Module):
         # halo/neighbor gathers.
         t = self.num_time
         sp = self.sp_axis
+        # Inference on folded zband brick levels fuses conv+BN+relu
+        # (+residual) into the Pallas kernel epilogue: occ * relu(x*s+b)
+        # == relu(occ*(x*s+b)) for occ in {0,1}, and masked(a)+masked(b)
+        # commutes with the mask, so the fused math is bit-identical to
+        # the unfused path under running statistics.
+        if (
+            not train
+            and sp is None
+            and self.conv_mode == "zband"
+            and _is_brick(lvl)
+            and feats.ndim == 4
+        ):
+            occ_rep = jnp.repeat(occ, self.planes, axis=-1).astype(feats.dtype)
+            s1, b1 = MaskedBatchNorm(self.planes, sp_axis=sp, name="norm1")(
+                None, occ, False, affine=True
+            )
+            out = SpConv(
+                self.cin, self.planes, self.block_kernel, 3, t,
+                conv_mode=self.conv_mode, mask_out=False, sp_axis=sp,
+                name="conv1",
+            )(feats, lvl, occ,
+              epilogue={"scale": s1, "bias": b1, "occ_rep": occ_rep,
+                        "relu": True})
+            s2, b2 = MaskedBatchNorm(self.planes, sp_axis=sp, name="norm2")(
+                None, occ, False, affine=True
+            )
+            if self.cin != self.planes:
+                res = SpConv(
+                    self.cin, self.planes, 1, 1, t, mask_out=False,
+                    sp_axis=sp, name="downsample_conv",
+                )(feats, lvl, occ)
+                res = MaskedBatchNorm(
+                    self.planes, sp_axis=sp, name="downsample_norm"
+                )(res, occ, False)
+            else:
+                res = feats
+            return SpConv(
+                self.planes, self.planes, self.block_kernel, 3, t,
+                conv_mode=self.conv_mode, mask_out=False, sp_axis=sp,
+                name="conv2",
+            )(out, lvl, occ,
+              epilogue={"scale": s2, "bias": b2, "occ_rep": occ_rep,
+                        "res": res, "relu": True})
         out = SpConv(
             self.cin,
             self.planes,
@@ -417,12 +488,15 @@ class BasicBlock(nn.Module):
 
 def _blocks(
     name, n, cin, planes, num_time, block_kernel=3, conv_mode="region",
-    sp_axis=None,
+    sp_axis=None, remat=False,
 ):
+    # static_argnums indexes flax's inner core_fn(scope, *call_args):
+    # `train` is call arg 3 -> core_fn arg 4.
+    cls = nn.remat(BasicBlock, static_argnums=(4,)) if remat else BasicBlock
     mods = []
     for i in range(n):
         mods.append(
-            BasicBlock(
+            cls(
                 cin if i == 0 else planes,
                 planes,
                 num_time,
@@ -495,22 +569,22 @@ class MinkUNet(nn.Module):
             return relu(y, occ_c)
 
         x = down(out_p1, "conv1p1s2", d0, d0, l1, "bn1", occ[1], fold[1])
-        for b in _blocks("block1", cfg.layers[0], d0, p[0], t, cfg.block_kernel, cfg.conv_mode, cfg.sp_axis):
+        for b in _blocks("block1", cfg.layers[0], d0, p[0], t, cfg.block_kernel, cfg.conv_mode, cfg.sp_axis, cfg.remat):
             x = b(x, l1, occ[1], train)
         out_b1p2 = x
 
         x = down(x, "conv2p2s2", p[0], p[0], l2, "bn2", occ[2], fold[2])
-        for b in _blocks("block2", cfg.layers[1], p[0], p[1], t, cfg.block_kernel, cfg.conv_mode, cfg.sp_axis):
+        for b in _blocks("block2", cfg.layers[1], p[0], p[1], t, cfg.block_kernel, cfg.conv_mode, cfg.sp_axis, cfg.remat):
             x = b(x, l2, occ[2], train)
         out_b2p4 = x
 
         x = down(x, "conv3p4s2", p[1], p[1], l3, "bn3", occ[3], fold[3])
-        for b in _blocks("block3", cfg.layers[2], p[1], p[2], t, cfg.block_kernel, cfg.conv_mode, cfg.sp_axis):
+        for b in _blocks("block3", cfg.layers[2], p[1], p[2], t, cfg.block_kernel, cfg.conv_mode, cfg.sp_axis, cfg.remat):
             x = b(x, l3, occ[3], train)
         out_b3p8 = x
 
         x = down(x, "conv4p8s2", p[2], p[2], l4, "bn4", occ[4], fold[4])
-        for b in _blocks("block4", cfg.layers[3], p[2], p[3], t, cfg.block_kernel, cfg.conv_mode, cfg.sp_axis):
+        for b in _blocks("block4", cfg.layers[3], p[2], p[3], t, cfg.block_kernel, cfg.conv_mode, cfg.sp_axis, cfg.remat):
             x = b(x, l4, occ[4], train)
 
         # Decoder (minkunet.py:107-158,188-217).
@@ -524,22 +598,22 @@ class MinkUNet(nn.Module):
 
         x = up(x, "convtr4p16s2", p[3], p[4], l3, "bntr4", occ[3], fold[3])
         x = cat_time(x, out_b3p8, t)
-        for b in _blocks("block5", cfg.layers[4], p[4] + p[2], p[4], t, cfg.block_kernel, cfg.conv_mode, cfg.sp_axis):
+        for b in _blocks("block5", cfg.layers[4], p[4] + p[2], p[4], t, cfg.block_kernel, cfg.conv_mode, cfg.sp_axis, cfg.remat):
             x = b(x, l3, occ[3], train)
 
         x = up(x, "convtr5p8s2", p[4], p[5], l2, "bntr5", occ[2], fold[2])
         x = cat_time(x, out_b2p4, t)
-        for b in _blocks("block6", cfg.layers[5], p[5] + p[1], p[5], t, cfg.block_kernel, cfg.conv_mode, cfg.sp_axis):
+        for b in _blocks("block6", cfg.layers[5], p[5] + p[1], p[5], t, cfg.block_kernel, cfg.conv_mode, cfg.sp_axis, cfg.remat):
             x = b(x, l2, occ[2], train)
 
         x = up(x, "convtr6p4s2", p[5], p[6], l1, "bntr6", occ[1], fold[1])
         x = cat_time(x, out_b1p2, t)
-        for b in _blocks("block7", cfg.layers[6], p[6] + p[0], p[6], t, cfg.block_kernel, cfg.conv_mode, cfg.sp_axis):
+        for b in _blocks("block7", cfg.layers[6], p[6] + p[0], p[6], t, cfg.block_kernel, cfg.conv_mode, cfg.sp_axis, cfg.remat):
             x = b(x, l1, occ[1], train)
 
         x = up(x, "convtr7p2s2", p[6], p[7], l0, "bntr7", occ[0], fold[0])
         x = cat_time(x, out_p1, t)
-        for b in _blocks("block8", cfg.layers[7], p[7] + d0, p[7], t, cfg.block_kernel, cfg.conv_mode, cfg.sp_axis):
+        for b in _blocks("block8", cfg.layers[7], p[7] + d0, p[7], t, cfg.block_kernel, cfg.conv_mode, cfg.sp_axis, cfg.remat):
             x = b(x, l0, occ[0], train)
 
         # Head: 1x1 conv with bias (minkunet.py:152-158).

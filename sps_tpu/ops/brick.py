@@ -28,6 +28,7 @@ the row-engine masks (occ has shape (B, 4, 4, 4, T)).
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -341,7 +342,7 @@ def _src_dst(d: int, pad: int, bs: int):
     return slice(0, pad), slice(pad + bs, n)
 
 
-def halo(
+def _halo_impl(
     feats: jnp.ndarray, nbr27: jnp.ndarray, pad: int,
     center: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
@@ -421,6 +422,122 @@ def halo(
     return jnp.concatenate(xs, axis=1)
 
 
+def _halo_bwd_core(nbr27, g, pad, tc=None):
+    """Gather-transpose of the halo assembly.
+
+    The autodiff transpose of the class-grouped slab gather is a giant
+    scatter-add (XLA TPU scatter serializes on update rows — measured to
+    dominate the training step). Brick adjacency is symmetric
+    (OFFS27[26-k] == -OFFS27[k], and level tables satisfy
+    nbr27[k][b] == s  <=>  nbr27[26-k][s] == b for real bricks; phantom
+    rows carry EMPTY), so the transpose is ANOTHER halo-style gather: the
+    cotangent slab a source brick contributed to output b at offset k
+    comes back from row nbr27[26-k][source]. Static-slice .at[].add then
+    accumulates the 27 slabs — no dynamic scatter anywhere."""
+    bout = nbr27.shape[1]
+    folded = tc is not None
+    h = g.shape[1]
+    bs = h - 2 * pad
+
+    def spans(dx, dy, dz, which):
+        out = []
+        for dd in (dx, dy, dz):
+            s_, t_ = _src_dst(dd, pad, bs)
+            out.append(s_ if which == 0 else t_)
+        return out
+
+    def zsl(sl):
+        return slice(sl.start * tc, sl.stop * tc)
+
+    cx, cy, cz = spans(0, 0, 0, 1)
+    d = g[:, cx, cy, zsl(cz) if folded else cz]
+
+    classes: dict[int, list] = {1: [], 2: [], 3: []}
+    for k, (dx, dy, dz) in enumerate(OFFS27):
+        if (dx, dy, dz) == (0, 0, 0):
+            continue
+        classes[abs(dx) + abs(dy) + abs(dz)].append((k, dx, dy, dz))
+
+    for items in classes.values():
+        srcs = []
+        idxs = []
+        shps = []
+        for k, dx, dy, dz in items:
+            tx, ty, tz = spans(dx, dy, dz, 1)
+            sl = g[:, tx, ty, zsl(tz) if folded else tz]
+            shps.append(sl.shape[1:])
+            srcs.append(sl.reshape(bout, -1))
+            idxs.append(nbr27[26 - k])
+        zrow = jnp.zeros((1, srcs[0].shape[1]), g.dtype)
+        stack = jnp.concatenate(srcs + [zrow], axis=0)
+        idx = jnp.stack(idxs)
+        off = (jnp.arange(len(items), dtype=jnp.int32) * bout)[:, None]
+        flat = jnp.where(idx >= 0, idx + off, len(items) * bout).reshape(-1)
+        gg = stack[flat].reshape(len(items), bout, -1)
+        for i, (k, dx, dy, dz) in enumerate(items):
+            sx, sy, sz = spans(dx, dy, dz, 0)
+            piece = gg[i].reshape((bout,) + shps[i])
+            if folded:
+                d = d.at[:, sx, sy, zsl(sz)].add(piece)
+            else:
+                d = d.at[:, sx, sy, sz].add(piece)
+    return d
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _halo_sym(feats, nbr27, pad):
+    return _halo_impl(feats, nbr27, pad)
+
+
+def _halo_sym_fwd(feats, nbr27, pad):
+    return _halo_impl(feats, nbr27, pad), nbr27
+
+
+def _halo_sym_bwd(pad, nbr27, g):
+    return (
+        _halo_bwd_core(nbr27, g, pad),
+        np.zeros(nbr27.shape, jax.dtypes.float0),
+    )
+
+
+_halo_sym.defvjp(_halo_sym_fwd, _halo_sym_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _halo_z_sym(zfeats, nbr27, pad, tc):
+    return _halo_z_impl(zfeats, nbr27, pad, tc)
+
+
+def _halo_z_sym_fwd(zfeats, nbr27, pad, tc):
+    return _halo_z_impl(zfeats, nbr27, pad, tc), nbr27
+
+
+def _halo_z_sym_bwd(pad, tc, nbr27, g):
+    return (
+        _halo_bwd_core(nbr27, g, pad, tc=tc),
+        np.zeros(nbr27.shape, jax.dtypes.float0),
+    )
+
+
+_halo_z_sym.defvjp(_halo_z_sym_fwd, _halo_z_sym_bwd)
+
+
+def halo(feats, nbr27, pad, center=None):
+    """Public halo assembly (see _halo_impl). Single-device symmetric
+    tables take the gather-transpose VJP; spatial-sharding calls (center
+    passed / asymmetric row spaces) fall back to autodiff."""
+    if center is None and feats.shape[0] == nbr27.shape[1]:
+        return _halo_sym(feats, nbr27, pad)
+    return _halo_impl(feats, nbr27, pad, center)
+
+
+def halo_z(zfeats, nbr27, pad, tc, center=None):
+    """Public z-folded halo assembly (see _halo_z_impl); VJP as in halo."""
+    if center is None and zfeats.shape[0] == nbr27.shape[1]:
+        return _halo_z_sym(zfeats, nbr27, pad, tc)
+    return _halo_z_impl(zfeats, nbr27, pad, tc, center)
+
+
 def fold_z(feats: jnp.ndarray) -> jnp.ndarray:
     """(B, bs, bs, bs, TC) -> (B, bs, bs, bs*TC): fold the z axis into
     channels (z-major, t, c minor — memory order is unchanged, only the
@@ -437,7 +554,7 @@ def unfold_z(zfeats: jnp.ndarray, tc: int) -> jnp.ndarray:
     return zfeats.reshape(b, bs, bs, bs, tc)
 
 
-def halo_z(
+def _halo_z_impl(
     zfeats: jnp.ndarray, nbr27: jnp.ndarray, pad: int, tc: int,
     center: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
@@ -543,6 +660,44 @@ def brick_conv_zband(
     # XLA conv lowering of the same contraction); XLA fallback on CPU.
     out = pallas_conv.zband_conv(h, wz, k, bs)
     return mask_bricks(out, occz) if mask_out else out
+
+
+def brick_conv_zband_fused(
+    zfeats: jnp.ndarray,
+    nbr27: jnp.ndarray,
+    w_dense: jnp.ndarray,
+    scale_c: jnp.ndarray,
+    bias_c: jnp.ndarray,
+    occ_rep: jnp.ndarray,
+    res: jnp.ndarray | None = None,
+    *,
+    num_time: int,
+    relu: bool = True,
+    center: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Inference-fused zband conv: occ * [relu](conv * scale + bias
+    [+ res]) in ONE Pallas kernel — the separate BN/relu/mask passes (and
+    the layout copies XLA inserts around extra custom-call boundaries)
+    collapse into the conv epilogue.
+
+    scale_c/bias_c: per-channel (C,) f32 BN affine from running stats;
+    occ_rep: (B, bs, bs, bs*T*C) channel-repeated folded occupancy;
+    res: optional masked residual of the same shape. Not differentiable
+    (training uses brick_conv_zband + live BN statistics)."""
+    from sps_tpu.ops import pallas_conv
+
+    k = w_dense.shape[0]
+    pad = k // 2
+    bs = zfeats.shape[1]
+    tcin = zfeats.shape[-1] // bs
+    h = halo_z(zfeats, nbr27, pad, tcin, center=center)
+    wz = pack_zband_kernel(w_dense, bs, pad)
+    # Affine tiled to the folded (z, t, c)-minor channel axis.
+    s = jnp.tile(scale_c.astype(jnp.float32), bs * num_time)
+    b = jnp.tile(bias_c.astype(jnp.float32), bs * num_time)
+    return pallas_conv.zband_conv_fused(
+        h, wz, s, b, occ_rep, res, k=k, bs=bs, relu=relu
+    )
 
 
 def mask_bricks(feats: jnp.ndarray, occ: jnp.ndarray) -> jnp.ndarray:

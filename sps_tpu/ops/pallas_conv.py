@@ -162,6 +162,107 @@ def zband_conv(hz, wz, k: int, bs: int, g: int = _G, interpret: bool = False):
     return _pallas_forward(hz, wz, k, bs, gg, interpret)
 
 
+def _fused_kernel(hz_ref, w_ref, scale_ref, bias_ref, occ_ref, res_ref,
+                  out_ref, acc_ref, *, k: int, bs: int, relu: bool,
+                  has_res: bool):
+    """_zmm_kernel + inference epilogue: out = occ * [relu](acc * scale +
+    bias [+ res]). scale/bias are (bs*TCout,) z-tiled affines (BN folded
+    with running stats), occ the z-folded occupancy already repeated to
+    channel width. Fusing these INSIDE the kernel removes the separate
+    BN/relu/mask passes over the (B, bs, bs, bs*TC) tensor AND the layout
+    copies XLA inserts around extra custom-call boundaries."""
+    kx = pl.program_id(1)
+    hzv = hz_ref[:]
+
+    @pl.when(kx == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    for kxs in range(k):
+        @pl.when(kx == kxs)
+        def _(kxs=kxs):
+            acc = acc_ref[:]
+            for ky in range(k):
+                a = jax.lax.slice(
+                    hzv,
+                    (0, kxs, ky, 0),
+                    (hzv.shape[0], kxs + bs, ky + bs, hzv.shape[3]),
+                )
+                acc = acc + jax.lax.dot_general(
+                    a,
+                    w_ref[0, ky],
+                    dimension_numbers=(((3,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            acc_ref[:] = acc
+
+    @pl.when(kx == k - 1)
+    def _():
+        y = acc_ref[:] * scale_ref[:].astype(jnp.float32) + bias_ref[:].astype(
+            jnp.float32
+        )
+        if has_res:
+            y = y + res_ref[:].astype(jnp.float32)
+        if relu:
+            y = jnp.maximum(y, 0.0)
+        out_ref[:] = (y * occ_ref[:].astype(jnp.float32)).astype(out_ref.dtype)
+
+
+def zband_conv_fused(hz, wz, scale, bias, occ, res=None, *, k: int, bs: int,
+                     relu: bool = True, interpret: bool = False):
+    """Inference-only fused conv+BN(+res)+relu+mask in the z-folded layout.
+
+    hz: (B, h, h, h*TCin); wz: (k, k, h*TCin, bs*TCout);
+    scale/bias: (bs*TCout,) folded per-(z, t, c) affine;
+    occ: (B, bs, bs, bs*TCout) occupancy repeated to channel width
+    (bf16/f32); res: optional (B, bs, bs, bs*TCout) residual.
+    Not differentiable (training uses the unfused path with live BN
+    statistics)."""
+    b = hz.shape[0]
+    h = bs + (k - 1)
+    tb = wz.shape[-1]
+    if not interpret and not backend_has_pallas():
+        y = _band_matmul_xla(hz, wz, k, bs).astype(jnp.float32)
+        y = y * scale + bias
+        if res is not None:
+            y = y + res.astype(jnp.float32)
+        if relu:
+            y = jnp.maximum(y, 0.0)
+        return (y * occ.astype(jnp.float32)).astype(hz.dtype)
+    g = min(
+        _G,
+        _pick_g(b, k, h, bs, hz.shape[3], tb, hz.dtype.itemsize),
+    )
+    if b % g:
+        g = 1
+    has_res = res is not None
+    if res is None:
+        res = jnp.zeros((b, bs, bs, tb), hz.dtype)
+    import functools as _ft
+
+    return pl.pallas_call(
+        _ft.partial(_fused_kernel, k=k, bs=bs, relu=relu, has_res=has_res),
+        grid=(b // g, k),
+        in_specs=[
+            pl.BlockSpec((g, h, h, hz.shape[3]), lambda i, j: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, hz.shape[3], tb), lambda i, j: (j, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # scale
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # bias
+            pl.BlockSpec((g, bs, bs, tb), lambda i, j: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),  # occ
+            pl.BlockSpec((g, bs, bs, tb), lambda i, j: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),  # res
+        ],
+        out_specs=pl.BlockSpec((g, bs, bs, tb), lambda i, j: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, bs, bs, tb), hz.dtype),
+        scratch_shapes=[pltpu.VMEM((g, bs, bs, tb), jnp.float32)],
+        interpret=interpret,
+    )(hz, wz, scale.astype(jnp.float32), bias.astype(jnp.float32), occ, res)
+
+
 def _fwd(hz, wz, k, bs, g, interpret):
     return zband_conv(hz, wz, k, bs, g, interpret), (hz, wz)
 

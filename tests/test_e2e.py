@@ -96,3 +96,40 @@ def test_train_resume(dataset, cfg, tmp_path):
     leaves = [np.asarray(x) for x in jax.tree_util.tree_leaves(raw2["opt_state"])
               if hasattr(x, "shape")]
     assert any(np.any(l != 0) for l in leaves)
+
+
+def test_remat_grads_match(dataset, cfg):
+    """remat=True (jax.checkpoint around residual blocks) must change
+    memory, not math: gradients match the unremat'd step exactly."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from sps_tpu import train as tr
+
+    cfg_r = dataclasses.replace(
+        cfg, tpu=dataclasses.replace(cfg.tpu, remat=True)
+    )
+    rng = jax.random.PRNGKey(0)
+    state_a = tr.create_state(cfg, rng, steps_per_epoch=1)
+    state_b = tr.create_state(cfg_r, rng, steps_per_epoch=1)
+
+    import numpy as np
+
+    rnp = np.random.default_rng(0)
+    ns = cfg.tpu.scan_points
+    b = cfg.train.batch_size
+    batch = {
+        "xyz": jnp.asarray(rnp.uniform(-4, 4, (b, ns, 3)).astype(np.float32)),
+        "label": jnp.asarray(rnp.uniform(0, 1, (b, ns)).astype(np.float32)),
+        "valid": jnp.ones((b, ns), bool),
+    }
+    mp = jnp.asarray(rnp.uniform(-4, 4, (2048, 3)).astype(np.float32))
+    sk = jax.random.PRNGKey(1)
+    _, ma = tr.train_step(state_a, batch, mp, sk, cfg=cfg, augment=False)
+    _, mb = tr.train_step(state_b, batch, mp, sk, cfg=cfg_r, augment=False)
+    np.testing.assert_allclose(
+        float(ma["loss"]), float(mb["loss"]), rtol=1e-6
+    )
+    np.testing.assert_allclose(float(ma["r2"]), float(mb["r2"]), rtol=1e-6)

@@ -64,3 +64,31 @@ def test_nondivisible_batch_falls_back_to_g1():
     ref = _ref_conv(hz, wz)
     got = pc.zband_conv(hz, wz, k, bs)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_fused_epilogue_matches_unfused():
+    """zband_conv_fused (XLA fallback + interpret-mode kernel) must equal
+    conv -> *scale+bias -> +res -> relu -> *occ composed from primitives."""
+    hz, wz, k, bs = _case(3, 4, 2, 2, b=4)
+    tb = wz.shape[-1]
+    rng = np.random.default_rng(1)
+    scale = jnp.asarray(rng.uniform(0.5, 2.0, tb), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(tb), jnp.float32)
+    occ = jnp.asarray(rng.integers(0, 2, (4, bs, bs, tb)), jnp.float32)
+    res = jnp.asarray(rng.standard_normal((4, bs, bs, tb)), jnp.float32) * occ
+
+    ref = _ref_conv(hz, wz)
+    ref = jnp.maximum(ref * scale + bias + res, 0.0) * occ
+
+    got = pc.zband_conv_fused(hz, wz, scale, bias, occ, res, k=k, bs=bs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+    got_i = pc.zband_conv_fused(hz, wz, scale, bias, occ, res, k=k, bs=bs,
+                                interpret=True)
+    np.testing.assert_allclose(np.asarray(got_i), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+    # relu=False / no-res variant
+    ref2 = (_ref_conv(hz, wz) * scale + bias) * occ
+    got2 = pc.zband_conv_fused(hz, wz, scale, bias, occ, None, k=k, bs=bs,
+                               relu=False, interpret=True)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(ref2), rtol=1e-5, atol=1e-5)
