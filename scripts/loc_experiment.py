@@ -33,12 +33,15 @@ import numpy as np
 @click.option("--runs", type=int, default=1)
 @click.option("--data", type=str, default=None)
 @click.option("--init-noise", type=float, default=0.0)
+@click.option("--epsilon", type=float, default=None,
+              help="filter threshold override (see calibrate_threshold.py; "
+                   "the reference's 0.84 is specific to ITS checkpoint)")
 @click.option("--baseline-weights", type=str, default=None,
               help="dir with {mos4d,mapmos,lts} checkpoints "
                    "(scripts/train_baselines.py); random init if absent")
 @click.option("--out", type=str, default="./exp_results")
 def main(config, weights, sequences, filters, runs, data, init_noise,
-         baseline_weights, out):
+         epsilon, baseline_weights, out):
     import jax
 
     from sps_tpu import config as cfg_mod
@@ -47,6 +50,10 @@ def main(config, weights, sequences, filters, runs, data, init_noise,
     from sps_tpu.utils import checkpoint as ckpt
 
     cfg = cfg_mod.load(config, data_root=data)
+    if epsilon is not None:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, threshold=epsilon)
     seqs = (
         [s.strip() for s in sequences.split(",")]
         if sequences

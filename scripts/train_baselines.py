@@ -91,7 +91,10 @@ def train_mos4d(cfg, scans, poses, labels_available, steps, n_scans, ns, out, se
             lab[o : o + k], valid[o : o + k] = sc[:, 3], True
         return xyz, t, lab, valid
 
-    variables = model.init(
+    # jit the init: un-jitted flax init executes each op EAGERLY, and on
+    # the axon runtime every eager dispatch is a network round trip
+    # (measured: a raw MOS4D init "hangs" ~an hour).
+    variables = jax.jit(model.init)(
         jax.random.PRNGKey(seed),
         PointBatch(
             xyz=jnp.zeros((nt, 3)), batch=jnp.zeros((nt,), jnp.int32),
@@ -164,7 +167,7 @@ def train_mapmos(cfg, scans, poses, map_points, steps, ns, nm, out, seed):
         return xyz, t, lab, valid, sup, idx
 
     xyz0, t0, lab0, valid0, sup0, idx0 = sample(0)
-    variables = model.init(
+    variables = jax.jit(model.init)(
         jax.random.PRNGKey(seed),
         PointBatch(xyz=jnp.asarray(xyz0), batch=jnp.zeros((nt,), jnp.int32),
                    t=jnp.asarray(t0), label=jnp.asarray(lab0),
@@ -220,7 +223,7 @@ def train_lts(cfg, scans, steps, out, seed):
         return wins.astype(np.float32), labels.astype(np.float32)
 
     w0, l0 = sample()
-    variables = model.init(jax.random.PRNGKey(seed), jnp.asarray(w0))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(seed), jnp.asarray(w0))
     tx = optax.adam(5e-4)
     opt = tx.init(variables["params"])
 

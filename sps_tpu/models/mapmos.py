@@ -31,18 +31,21 @@ from sps_tpu.structs import Capacities, PointBatch
 class MapMOSConfig:
     voxel_size: float = 0.1
     caps: Capacities = Capacities()
-    engine: str = "brick"
-    brick_side: int = 4
-    atlas_extent: tuple = (1, 256, 256, 96)
+    # atlas: see MOS4DConfig.engine.
+    engine: str = "atlas"
+    brick_side: int = 8
+    atlas_extent: tuple = (1, 96, 96, 24)
+    row_from: int | None = 3
 
     def sps_config(self) -> SPSConfig:
         return SPSConfig(
             voxel_size=self.voxel_size,
             caps=self.caps,
-            unet=MinkUNetConfig(in_channels=1, out_channels=1, num_time=2),
+            unet=MinkUNetConfig(in_channels=1, out_channels=1, num_time=2, conv_mode="halo"),
             engine=self.engine,
             brick_side=self.brick_side,
             atlas_extent=self.atlas_extent,
+            row_from=self.row_from,
         )
 
 

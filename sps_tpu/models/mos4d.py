@@ -29,18 +29,25 @@ class MOS4DConfig:
     voxel_size: float = 0.1
     n_scans: int = 10  # buffer length, parsed from ckpt name in the ref
     caps: Capacities = Capacities()
-    engine: str = "brick"
-    brick_side: int = 4
+    # atlas: the probe-free engine (the hash-probing brick/gather builds
+    # compile pathologically through the axon remote compiler).
+    engine: str = "atlas"
+    brick_side: int = 8
+    atlas_extent: tuple = (1, 96, 96, 24)
+    row_from: int | None = 3
 
     def sps_config(self) -> SPSConfig:
         return SPSConfig(
             voxel_size=self.voxel_size,
             caps=self.caps,
             unet=MinkUNetConfig(
-                in_channels=1, out_channels=3, num_time=self.n_scans
+                in_channels=1, out_channels=3, num_time=self.n_scans,
+                conv_mode="halo",
             ),
             engine=self.engine,
             brick_side=self.brick_side,
+            atlas_extent=self.atlas_extent,
+            row_from=self.row_from,
         )
 
 

@@ -93,7 +93,7 @@ def _make_baseline_filter(
                 np.zeros((8, 3), np.float32), np.zeros(8), np.zeros(8),
                 np.zeros(8), mcfg.n_scans * ns,
             )
-            variables = MOS4DNet(mcfg).init(jax.random.PRNGKey(0), dummy)
+            variables = jax.jit(MOS4DNet(mcfg).init)(jax.random.PRNGKey(0), dummy)
         return bl.MOS4DFilter(mcfg, variables, ns)
     if mode == "mapmos":
         mcfg = MapMOSConfig(voxel_size=cfg.voxel_size, caps=caps)
@@ -103,7 +103,7 @@ def _make_baseline_filter(
                 np.zeros((8, 3), np.float32), np.zeros(8), np.zeros(8),
                 np.zeros(8), ns + nm,
             )
-            variables = MapMOSNet(mcfg).init(
+            variables = jax.jit(MapMOSNet(mcfg).init)(
                 jax.random.PRNGKey(0), dummy, jnp.zeros((ns + nm,), jnp.float32)
             )
         return bl.MapMOSFilter(mcfg, variables, map_points, ns, nm)
@@ -114,7 +114,7 @@ def _make_baseline_filter(
         p = LIDAR_PARAMS["vlp-16"]
         if variables is None:
             model = SPCTReg()
-            variables = model.init(
+            variables = jax.jit(model.init)(
                 jax.random.PRNGKey(0),
                 jnp.zeros((2, p["num_beams"] * p["window_size"], 3), jnp.float32),
             )
