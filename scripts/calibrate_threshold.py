@@ -65,6 +65,7 @@ def main(config, weights, data, sequence, max_scans):
     l = np.concatenate(all_l) > 0.5
 
     best = None
+    curve = []
     for eps in np.linspace(0.02, 0.98, 97):
         pred = s > eps  # unstable
         tp = int((pred & l).sum())
@@ -73,9 +74,13 @@ def main(config, weights, data, sequence, max_scans):
         p = tp / max(tp + fp, 1)
         r = tp / max(tp + fn, 1)
         f1 = 2 * p * r / max(p + r, 1e-9)
+        row = {"epsilon": round(float(eps), 3), "f1": round(f1, 4),
+               "precision": round(p, 4), "recall": round(r, 4)}
+        if abs(eps * 10 - round(eps * 10)) < 1e-6:
+            curve.append(row)
         if best is None or f1 > best["f1"]:
-            best = {"epsilon": round(float(eps), 3), "f1": round(f1, 4),
-                    "precision": round(p, 4), "recall": round(r, 4)}
+            best = dict(row)
+    best["curve"] = curve
     best.update(sequence=seq, points=int(len(s)),
                 unstable_frac=round(float(l.mean()), 4),
                 score_mean_stable=round(float(s[~l].mean()), 4),

@@ -61,6 +61,12 @@ class TPUConfig:
     # engine); 0/absent disables.
     row_from: int = 0
     max_per_cell: int = 8
+    # Submap radius-join formulation: "hash" (exact ball query, probing
+    # while loops — fine on CPU, serializes on TPU) or "dense" (probe-free
+    # cell-occupancy grid over join_extent cells at edge VOXEL_SIZE; the
+    # TPU configuration — see ops.radius.radius_join_dense).
+    join_mode: str = "hash"
+    join_extent: tuple = (640, 640, 128)
     bf16: bool = False
     # Rematerialize residual blocks in the backward pass (training memory
     # vs FLOPs trade; see MinkUNetConfig.remat).
@@ -163,6 +169,8 @@ def load(path: str, data_root: str | None = None) -> Config:
             zband_levels=int(tpu.get("ZBAND_LEVELS", TPUConfig.zband_levels)),
             row_from=int(tpu.get("ROW_FROM", TPUConfig.row_from)),
             max_per_cell=int(tpu.get("MAX_PER_CELL", TPUConfig.max_per_cell)),
+            join_mode=str(tpu.get("JOIN_MODE", TPUConfig.join_mode)),
+            join_extent=tuple(tpu.get("JOIN_EXTENT", TPUConfig.join_extent)),
             bf16=bool(tpu.get("BF16", False)),
             remat=bool(tpu.get("REMAT", False)),
         ),

@@ -150,3 +150,62 @@ def compact_mask(
     valid = jnp.arange(capacity) < jnp.minimum(total, capacity)
     overflow = jnp.maximum(total - capacity, 0)
     return idx, valid, overflow
+
+
+def radius_join_dense(
+    scan: jnp.ndarray,
+    scan_valid: jnp.ndarray,
+    queries: jnp.ndarray,
+    query_valid: jnp.ndarray,
+    r: float,
+    *,
+    extent: tuple,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Probe-free radius join: dense cell-occupancy grid instead of hash
+    probing.
+
+    The hash-probe join's linear-probing while loops SERIALIZE on TPU —
+    traced at 10.3 s of an 10.7 s training step at loc scale (27 probes x
+    6e5 map points). This formulation has no loops at all: scatter the
+    scan's occupied cells (edge r) into a dense grid over the scan's AABB
+    (origin = per-sample min cell, extent static), dilate once with a 3^3
+    max-pool, and answer every query with ONE gather.
+
+    Semantics: keeps query points whose cell is within the CHEBYSHEV
+    1-cell neighborhood of an occupied scan cell — a superset of the
+    exact Euclidean ball (any pair within r differs by <= 1 per axis) and
+    a subset of radius 2r*sqrt(3). The reference's submap join
+    (query_ball_tree(r=VOXEL_SIZE), blt_dataset.py:258-271) bounds the
+    submap to the scan's voxel footprint; the looser cutoff only admits
+    map points one voxel further out, whose submap rows voxelize into
+    neighbor voxels of the scan — a slightly larger (never smaller)
+    training submap. Documented deviation (docs/DESIGN.md §6).
+
+    extent: static (EX, EY, EZ) cell counts; scan points outside the AABB
+    window are dropped (counted in `dropped`). Memory: EX*EY*EZ bytes.
+
+    Returns (mask over queries, dropped scan points).
+    """
+    ex = jnp.asarray(extent, jnp.int32)
+    c = _cells(scan, r)
+    big = jnp.int32(1 << 24)
+    cmin = jnp.min(jnp.where(scan_valid[:, None], c, big), axis=0) - 1
+    rel = c - cmin
+    inb = scan_valid & jnp.all((rel >= 0) & (rel < ex), axis=-1)
+    ncell = int(extent[0]) * int(extent[1]) * int(extent[2])
+    flat = (rel[:, 0] * ex[1] + rel[:, 1]) * ex[2] + rel[:, 2]
+    occ = (
+        jnp.zeros((ncell + 1,), jnp.uint8)
+        .at[jnp.where(inb, flat, ncell)]
+        .max(jnp.uint8(1), mode="drop")
+    )[:ncell]
+    o3 = jax.lax.reduce_window(
+        occ.reshape(extent), jnp.uint8(0), jax.lax.max,
+        (3, 3, 3), (1, 1, 1), "SAME",
+    ).reshape(-1)
+    qc = _cells(queries, r) - cmin
+    qin = query_valid & jnp.all((qc >= 0) & (qc < ex), axis=-1)
+    qflat = (qc[:, 0] * ex[1] + qc[:, 1]) * ex[2] + qc[:, 2]
+    hit = o3[jnp.clip(qflat, 0, ncell - 1)] > 0
+    dropped = jnp.sum((scan_valid & ~inb).astype(jnp.int32))
+    return hit & qin, dropped

@@ -37,15 +37,21 @@ def assemble_batch(
     map_valid = jnp.ones((m,), bool)
 
     def one(sxyz, svalid):
-        mask, dropped = rad.radius_join(
-            sxyz,
-            svalid,
-            map_points,
-            map_valid,
-            cfg.voxel_size,
-            cell_capacity=cfg.tpu.cell_capacity,
-            max_per_cell=cfg.tpu.max_per_cell,
-        )
+        if cfg.tpu.join_mode == "dense":
+            mask, dropped = rad.radius_join_dense(
+                sxyz, svalid, map_points, map_valid, cfg.voxel_size,
+                extent=cfg.tpu.join_extent,
+            )
+        else:
+            mask, dropped = rad.radius_join(
+                sxyz,
+                svalid,
+                map_points,
+                map_valid,
+                cfg.voxel_size,
+                cell_capacity=cfg.tpu.cell_capacity,
+                max_per_cell=cfg.tpu.max_per_cell,
+            )
         idx, subvalid, overflow = rad.compact_mask(mask, sub)
         sub_xyz = map_points[idx] * subvalid[:, None].astype(map_points.dtype)
         return sub_xyz, subvalid, overflow, dropped

@@ -201,7 +201,12 @@ def run_localization(
         sv = np.zeros((ns,), bool)
         sx[:n], sl[:n], sv[:n] = scan[:n, :3], scan[:n, 3], True
 
-        if i == 0 or prior == "odom":
+        # cv needs TWO estimates for a velocity; scans 0-1 take the
+        # external prior (the reference node consumes an odometry estimate
+        # for EVERY scan — sps_node.py:37 — so an externally seeded start
+        # is the faithful emulation, and an unseeded scan 1 starts a full
+        # motion-step off, outside an aggressive filter's tolerance).
+        if i <= 1 or prior == "odom":
             guess = gt_poses[i].copy()
             if init_noise:
                 guess[:3, 3] += rng.normal(0, init_noise, 3)

@@ -88,3 +88,27 @@ def test_geometry_roundtrip():
     # Rotation part orthonormal.
     r = tr[:3, :3]
     np.testing.assert_allclose(r @ r.T, np.eye(3), atol=1e-6)
+
+
+def test_dense_join_superset_of_exact():
+    """radius_join_dense finds every exact within-r pair (Chebyshev-cell
+    superset of the Euclidean ball) and nothing beyond 2r*sqrt(3)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from sps_tpu.ops import radius as rad
+
+    rng = np.random.default_rng(0)
+    r = 0.1
+    scan = jnp.asarray(rng.uniform(-2, 2, (300, 3)).astype(np.float32))
+    q = jnp.asarray(rng.uniform(-2.5, 2.5, (800, 3)).astype(np.float32))
+    sv = jnp.ones((300,), bool)
+    qv = jnp.ones((800,), bool)
+    mask, dropped = rad.radius_join_dense(scan, sv, q, qv, r, extent=(64, 64, 64))
+    assert int(dropped) == 0
+    d = np.linalg.norm(
+        np.asarray(q)[:, None, :] - np.asarray(scan)[None, :, :], axis=-1
+    ).min(axis=1)
+    m = np.asarray(mask)
+    assert (m | (d > r)).all(), "missed an exact within-r query"
+    assert (~m | (d <= 2 * r * np.sqrt(3))).all(), "kept a far query"
