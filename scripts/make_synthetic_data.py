@@ -23,6 +23,10 @@ import click
                    "use for localization experiments — see generate_dense)")
 @click.option("--map-density", type=float, default=260.0)
 @click.option("--scan-density", type=float, default=28.0)
+@click.option("--extent", type=float, default=22.0,
+              help="dense-world half-extent in m (world spans ±extent)")
+@click.option("--n-stable", type=int, default=28,
+              help="dense-world stable structure count")
 @click.option("--clutter-boxes", type=int, default=14)
 @click.option("--clutter-scale", type=float, default=1.6)
 @click.option("--growth-boxes", type=int, default=0,
@@ -35,8 +39,8 @@ import click
 @click.option("--sequences", type=str, default="",
               help="csv sequence names (default: the 4 BLT-style names)")
 def main(root, scans_per_seq, seed, n_rays, ground_points, dense,
-         map_density, scan_density, clutter_boxes, clutter_scale,
-         growth_boxes, clean_sequences, sequences):
+         map_density, scan_density, extent, n_stable, clutter_boxes,
+         clutter_scale, growth_boxes, clean_sequences, sequences):
     from sps_tpu.data import synthetic
 
     if dense:
@@ -49,6 +53,8 @@ def main(root, scans_per_seq, seed, n_rays, ground_points, dense,
             seed=seed,
             map_density=map_density,
             scan_density=scan_density,
+            extent=extent,
+            n_stable=n_stable,
             clutter_boxes=clutter_boxes,
             clutter_scale=clutter_scale,
             growth_boxes=growth_boxes,
