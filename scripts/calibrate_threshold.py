@@ -66,7 +66,9 @@ def main(config, weights, data, sequence, max_scans):
 
     best = None
     curve = []
-    for eps in np.linspace(0.02, 0.98, 97):
+    grid = np.concatenate(
+        [np.linspace(0.02, 0.98, 97), np.linspace(0.982, 0.998, 9)])
+    for eps in grid:
         pred = s > eps  # unstable
         tp = int((pred & l).sum())
         fp = int((pred & ~l).sum())

@@ -33,6 +33,9 @@ import click
               help="per-seq inflated copies of mapped structures (walls "
                    "offset <1 m from real walls; biases ICP — the change "
                    "mode SPS filtering targets)")
+@click.option("--mover-boxes", type=int, default=0,
+              help="per-seq boxes translating 0.25-0.8 m between scans "
+                   "(actors; the motion signal MOS4D detects)")
 @click.option("--clean-sequences", type=str, default="",
               help="csv sequence names generated with zero clutter "
                    "(unchanged-world control)")
@@ -40,7 +43,8 @@ import click
               help="csv sequence names (default: the 4 BLT-style names)")
 def main(root, scans_per_seq, seed, n_rays, ground_points, dense,
          map_density, scan_density, extent, n_stable, clutter_boxes,
-         clutter_scale, growth_boxes, clean_sequences, sequences):
+         clutter_scale, growth_boxes, mover_boxes, clean_sequences,
+         sequences):
     from sps_tpu.data import synthetic
 
     if dense:
@@ -58,6 +62,7 @@ def main(root, scans_per_seq, seed, n_rays, ground_points, dense,
             clutter_boxes=clutter_boxes,
             clutter_scale=clutter_scale,
             growth_boxes=growth_boxes,
+            mover_boxes=mover_boxes,
             clean_sequences=tuple(
                 s.strip() for s in clean_sequences.split(",") if s.strip()
             ),

@@ -220,6 +220,23 @@ def _growth_params(rng, stable_boxes, n, radius, pad=(0.25, 0.9)):
     return p
 
 
+def _mover_params(rng, n, radius):
+    """(n, 5) mover boxes (cars/pedestrians: smaller than clutter) plus
+    (n, 2) per-scan-step velocities. Movers translate between consecutive
+    scans — the inter-scan motion signal a scan-buffer MOS filter (MOS4D)
+    needs; static clutter gives it nothing to detect."""
+    r = rng.uniform(radius - 5.0, radius + 5.0, n)
+    a = rng.uniform(0, 2 * np.pi, n)
+    cx, cy = r * np.cos(a), r * np.sin(a)
+    sx = rng.uniform(0.4, 2.0, n)
+    sy = rng.uniform(0.4, 2.0, n)
+    h = rng.uniform(0.5, 1.8, n)
+    speed = rng.uniform(0.25, 0.8, n)  # m per scan step
+    heading = rng.uniform(0, 2 * np.pi, n)
+    vel = np.stack([speed * np.cos(heading), speed * np.sin(heading)], 1)
+    return np.stack([cx, cy, sx, sy, h], 1), vel
+
+
 def generate_dense(
     root: str,
     sequences=("20220420", "20220601", "20220608", "20220629"),
@@ -235,6 +252,7 @@ def generate_dense(
     noise: float = 0.012,
     step_m: float = 1.0,
     growth_boxes: int = 0,
+    mover_boxes: int = 0,
     clean_sequences: tuple = (),
 ):
     """Dense-world synthetic dataset (same on-disk layout as generate()).
@@ -246,6 +264,10 @@ def generate_dense(
     growth_boxes: additional per-sequence clutter as inflated copies of
     mapped structures (walls offset <1 m from real walls) — the change
     mode that biases ICP instead of being outlier-rejected.
+    mover_boxes: boxes that TRANSLATE between consecutive scans (0.25-0.8 m
+    per step) — actors (cars/pedestrians) whose inter-scan motion is the
+    signal scan-buffer MOS filters detect. Labeled unstable (no map
+    support), like all clutter.
     clean_sequences: names generated with ZERO clutter (unchanged world) —
     the control where filtering must not hurt.
     """
@@ -268,9 +290,13 @@ def generate_dense(
     radius = 0.55 * extent
     for si, seq in enumerate(sequences):
         srng = np.random.default_rng(seed + 1000 + si)
+        movers_p = np.zeros((0, 5))
+        movers_v = np.zeros((0, 2))
         if seq in clean_sequences:
             clutter_boxes_p = np.zeros((0, 5))
         else:
+            if mover_boxes:
+                movers_p, movers_v = _mover_params(srng, mover_boxes, radius)
             clutter_boxes_p = _box_params(
                 srng,
                 clutter_boxes,
@@ -304,9 +330,14 @@ def generate_dense(
             cb = _sample_box_set(
                 srng, clutter_boxes_p, scan_density, pose_xy, max_r
             )
-            pts_world = np.concatenate([sg, sb, cb], 0)
+            # Movers: same boxes, per-scan translated centers.
+            mp = movers_p.copy()
+            if len(mp):
+                mp[:, :2] += movers_v * float(i)
+            mb = _sample_box_set(srng, mp, scan_density, pose_xy, max_r)
+            pts_world = np.concatenate([sg, sb, cb, mb], 0)
             labels = np.concatenate(
-                [np.zeros(len(sg) + len(sb)), np.ones(len(cb))]
+                [np.zeros(len(sg) + len(sb)), np.ones(len(cb) + len(mb))]
             ).astype(np.float32)
             pts_world = pts_world + srng.normal(0, noise, pts_world.shape).astype(
                 np.float32
