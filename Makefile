@@ -1,7 +1,23 @@
 # Developer entry points (the reference's Makefile smoke-checks its CUDA
 # stack; ours checks the TPU/JAX stack and runs the suite).
 
-.PHONY: test smoke native bench clean
+.PHONY: test test-fast smoke native bench clean
+
+# Two-tier test workflow: `make test-fast` runs the unit/oracle files
+# (hash, sparse-conv oracles, ME order, converter, geometry/augment,
+# halo VJP, native data plane, registration) in a few minutes on one
+# CPU core; `make test` adds the compile-heavy model/e2e/mesh files
+# (engine parity, train->resume->predict, dp/sp on the 8-device virtual
+# mesh, streaming, baselines) and costs >1 h cold. CI gates merges on
+# the full suite; iterate locally with the fast tier.
+FAST_TESTS = tests/test_hash.py tests/test_sparse.py tests/test_brick.py \
+	tests/test_me_order.py tests/test_convert.py tests/test_halo_vjp.py \
+	tests/test_radius_augment.py tests/test_native.py tests/test_register.py
+
+test-fast:
+	@set -e; for f in $(FAST_TESTS); do \
+		echo "== $$f"; python -m pytest $$f -q || exit 1; \
+	done
 
 smoke:
 	python -c "import jax; print('devices:', jax.devices())"

@@ -18,7 +18,13 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _HERE)
+# Persistent XLA compile cache (TPU backends; tests opt out on CPU
+# — see tests/conftest.py): repeat invocations skip the multi-minute
+# compile of the per-scan/train programs.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(_HERE, ".jax_cache"))
 
 import click
 import numpy as np
@@ -29,7 +35,9 @@ import numpy as np
 @click.option("--weights", "-w", type=str, default=None)
 @click.option("--sequences", "-seq", type=str, default=None,
               help="csv; default = config TEST split")
-@click.option("--filters", type=str, default="sps,mask,raw")
+@click.option("--filters", type=str, default="sps,mask,raw",
+              help="csv of filter modes; 'sps@0.5' runs sps with that "
+                   "threshold (per-spec epsilon sweep)")
 @click.option("--runs", type=int, default=1)
 @click.option("--data", type=str, default=None)
 @click.option("--init-noise", type=float, default=0.0)
@@ -78,11 +86,17 @@ def main(config, weights, sequences, filters, runs, data, init_noise,
             for seq in seqs:
                 for flt in flts:
                     t0 = time.time()
+                    mode, eps = flt, None
+                    if "@" in flt:
+                        mode, e = flt.split("@", 1)
+                        eps = float(e)
                     r = loc.run_localization(
-                        cfg, variables, seq, flt,
+                        cfg, variables, seq, mode,
                         init_noise=init_noise, seed=run,
                         baseline_weights=baseline_weights,
+                        epsilon=eps,
                     )
+                    r["filter"] = flt
                     r.update(run=run, seq=seq, wall_s=round(time.time() - t0, 1))
                     results.append(r)
                     f.write(json.dumps(r) + "\n")

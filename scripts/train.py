@@ -5,7 +5,13 @@ scripts/train.py: `python scripts/train.py -c config/config.yaml`)."""
 import os
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _HERE)
+# Persistent XLA compile cache (TPU backends; tests opt out on CPU
+# — see tests/conftest.py): repeat invocations skip the multi-minute
+# compile of the per-scan/train programs.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(_HERE, ".jax_cache"))
 
 import click
 

@@ -215,7 +215,7 @@ class StreamingFilter:
             shard_map(
                 fn,
                 mesh=self.mesh,
-                in_specs=(P(),) * 6,
+                in_specs=(P(),) * 7,
                 out_specs=P(),
                 check_rep=False,
             )
@@ -227,12 +227,11 @@ class StreamingFilter:
 
         cfg = self.cfg
         model = self.model
-        eps = cfg.threshold
         vsize = cfg.voxel_size
         scfg = self.sps_cfg
         bcap = scfg.caps.bricks[0]
 
-        def fn(variables, map_grid, scan_xyz, valid, labels, poses):
+        def fn(variables, map_grid, scan_xyz, valid, labels, poses, eps):
             # scan_xyz (NB, n, 3); poses (NB, 4, 4); valid/labels (NB, n).
             nb, n = scan_xyz.shape[:2]
             xyz = (
@@ -287,11 +286,10 @@ class StreamingFilter:
 
         cfg = self.cfg
         model = self.model
-        eps = cfg.threshold
         vsize = cfg.voxel_size
         bcap = self.sps_cfg.caps.bricks[0]
 
-        def fn(variables, map_grid, scan_xyz, valid, labels, pose):
+        def fn(variables, map_grid, scan_xyz, valid, labels, pose, eps):
             xyz = transform_points(scan_xyz, pose)
             coords = vox.quantize(xyz, vsize)
             n = scan_xyz.shape[0]
@@ -336,11 +334,10 @@ class StreamingFilter:
     def _make_gather_fn(self):
         cfg = self.cfg
         model = self.model
-        eps = cfg.threshold
         vsize = cfg.voxel_size
         vcap = self.sps_cfg.caps.voxels[0]
 
-        def fn(variables, map_table, scan_xyz, valid, labels, pose):
+        def fn(variables, map_table, scan_xyz, valid, labels, pose, eps):
             xyz = transform_points(scan_xyz, pose)
             coords = vox.quantize(xyz, vsize)
             n = scan_xyz.shape[0]
@@ -400,6 +397,9 @@ class StreamingFilter:
             jnp.asarray(valid),
             jnp.asarray(labels),
             jnp.asarray(pose),
+            # eps as a traced argument: every threshold shares ONE compiled
+            # program (the epsilon sweep would otherwise recompile per value).
+            jnp.asarray(self.eps, jnp.float32),
         )
         if squeeze:
             scores, keep = scores[0], keep[0]

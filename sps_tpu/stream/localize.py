@@ -132,6 +132,7 @@ def run_localization(
     prior: str = "cv",
     seed: int = 0,
     baseline_weights: str | None = None,
+    epsilon: float | None = None,
     log=print,
 ) -> dict:
     """Returns {ate_rmse, per-scan errors, kept fraction}.
@@ -141,6 +142,10 @@ def run_localization(
     odometry input the reference node consumes (sps_node.py:37 subscribes
     to /odometry_node/odometry_estimate — the pose prior is external)."""
     assert filter_mode in FILTERS
+    if epsilon is not None:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, threshold=epsilon)
     scans, gt_poses = blt.load_sequences_raw(cfg.data.root, [sequence])
     map_points = blt.load_map(cfg.data.root, cfg.data.map_file)
     # Two-level registration pyramid: the coarse map (16x voxel) widens
