@@ -81,6 +81,7 @@ def main(config, weights, sequences, filters, runs, data, init_noise,
     os.makedirs(out, exist_ok=True)
     results = []
     path = os.path.join(out, "results.jsonl")
+    compiled = {}  # shared across {run x seq x filter}: compile once
     with open(path, "a") as f:
         for run in range(runs):
             for seq in seqs:
@@ -94,7 +95,7 @@ def main(config, weights, sequences, filters, runs, data, init_noise,
                         cfg, variables, seq, mode,
                         init_noise=init_noise, seed=run,
                         baseline_weights=baseline_weights,
-                        epsilon=eps,
+                        epsilon=eps, cache=compiled,
                     )
                     r["filter"] = flt
                     r.update(run=run, seq=seq, wall_s=round(time.time() - t0, 1))

@@ -93,6 +93,80 @@ def _exp_se3(delta: jnp.ndarray) -> jnp.ndarray:
     return tr
 
 
+def _correspond(vmap: VoxelMap, p: jnp.ndarray, valid: jnp.ndarray):
+    """Nearest map-voxel centroid among the 27 neighbor voxels of each
+    point (pure voxel-containment makes escaping correspondences free,
+    which lets point-to-plane slide along the ground plane)."""
+    coords = vox.quantize(p, vmap.voxel_size)
+    m = p.shape[0]
+    offs = jnp.stack(
+        jnp.meshgrid(*([jnp.arange(-1, 2, dtype=jnp.int32)] * 3), indexing="ij"),
+        axis=-1,
+    ).reshape(27, 3)
+    q = jnp.concatenate(
+        [
+            jnp.zeros((27, m, 1), jnp.int32),
+            coords[None] + offs[:, None, :],
+        ],
+        axis=-1,
+    ).reshape(27 * m, 4)
+    qv = jnp.broadcast_to(valid[None], (27, m)).reshape(-1)
+    rows = vhash.lookup(vmap.table, q, qv).reshape(27, m)
+    safe = jnp.clip(rows, 0)
+    cands = vmap.centroids[safe]  # (27, M, 3)
+    d2 = jnp.sum((cands - p[None]) ** 2, axis=-1)
+    d2 = jnp.where(rows >= 0, d2, jnp.inf)
+    best = jnp.argmin(d2, axis=0)  # (M,)
+    row = jnp.take_along_axis(rows, best[None], axis=0)[0]
+    hit = (row >= 0) & valid
+    safe_r = jnp.clip(row, 0)
+    return vmap.centroids[safe_r], vmap.normals[safe_r], hit
+
+
+def yaw_search(
+    vmap: VoxelMap,
+    scan: jnp.ndarray,
+    valid: jnp.ndarray,
+    pose: jnp.ndarray,
+    *,
+    span: float = 0.6,
+    steps: int = 13,
+    huber: float = 0.3,
+) -> jnp.ndarray:
+    """Batched yaw-hypothesis search about the sensor origin.
+
+    Gauss-Newton point-to-plane has a rotation basin of only a few
+    degrees-per-meter-of-range (a 25 deg prior error displaces a 10 m
+    return by 4.4 m — far outside the 27-voxel correspondence search), so
+    a sharp-turn transient under the constant-velocity prior stalls it in
+    a wrong minimum (hdl_localization survives this via its filter's
+    process noise + NDT's wide basin). Here: score `steps` yaw rotations
+    of the prior (composed in the SENSOR frame, pose @ Rz) on the coarse
+    map with a bounded robust cost (missing correspondences pay the Huber
+    ceiling), take the argmin. One vmapped evaluation — TPU-batched, no
+    loop."""
+    yaws = jnp.linspace(-span, span, steps)
+
+    def cost(yaw):
+        c, s = jnp.cos(yaw), jnp.sin(yaw)
+        rz = jnp.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
+        r3 = pose[:3, :3] @ rz
+        p = scan @ r3.T + pose[:3, 3]
+        cc, nn, hit = _correspond(vmap, p, valid)
+        r = jnp.sum(nn * (p - cc), axis=-1)
+        e = jnp.where(hit, jnp.minimum(r * r, huber * huber), huber * huber)
+        v = valid.astype(e.dtype)
+        return jnp.sum(e * v) / jnp.maximum(jnp.sum(v), 1.0)
+
+    costs = jax.vmap(cost)(yaws)
+    best = jnp.argmin(costs)
+    yaw = yaws[best]
+    c, s = jnp.cos(yaw), jnp.sin(yaw)
+    rz = jnp.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
+    out = pose.at[:3, :3].set(pose[:3, :3] @ rz)
+    return out
+
+
 def register(
     vmap: VoxelMap,
     scan: jnp.ndarray,
@@ -107,36 +181,9 @@ def register(
 
     Returns (pose 4x4, stats dict). Jittable; fixed iteration count.
     """
-    vs = vmap.voxel_size
 
     def correspond(p):
-        """Nearest map-voxel centroid among the 27 neighbor voxels of each
-        point (pure voxel-containment makes escaping correspondences free,
-        which lets point-to-plane slide along the ground plane)."""
-        coords = vox.quantize(p, vs)
-        m = p.shape[0]
-        offs = jnp.stack(
-            jnp.meshgrid(*([jnp.arange(-1, 2, dtype=jnp.int32)] * 3), indexing="ij"),
-            axis=-1,
-        ).reshape(27, 3)
-        q = jnp.concatenate(
-            [
-                jnp.zeros((27, m, 1), jnp.int32),
-                coords[None] + offs[:, None, :],
-            ],
-            axis=-1,
-        ).reshape(27 * m, 4)
-        qv = jnp.broadcast_to(valid[None], (27, m)).reshape(-1)
-        rows = vhash.lookup(vmap.table, q, qv).reshape(27, m)
-        safe = jnp.clip(rows, 0)
-        cands = vmap.centroids[safe]  # (27, M, 3)
-        d2 = jnp.sum((cands - p[None]) ** 2, axis=-1)
-        d2 = jnp.where(rows >= 0, d2, jnp.inf)
-        best = jnp.argmin(d2, axis=0)  # (M,)
-        row = jnp.take_along_axis(rows, best[None], axis=0)[0]
-        hit = (row >= 0) & valid
-        safe_r = jnp.clip(row, 0)
-        return vmap.centroids[safe_r], vmap.normals[safe_r], hit
+        return _correspond(vmap, p, valid)
 
     def step(_, pose):
         p = scan @ pose[:3, :3].T + pose[:3, 3]
@@ -172,6 +219,8 @@ def register_pyramid(
     *,
     iters: int = 12,
     huber: float = 0.3,
+    yaw_span: float = 0.6,
+    yaw_steps: int = 13,
 ):
     """Coarse-to-fine ICP over a list of VoxelMaps (coarsest first).
 
@@ -180,11 +229,20 @@ def register_pyramid(
     (point-to-plane slides along the ground). Registering on a coarser
     map first widens the basin to a few meters (hdl_localization's NDT
     matcher has a similarly wide basin via its 2+ m resolution grid),
-    then the fine level recovers accuracy. Jittable; fixed trip counts.
+    then the fine level recovers accuracy. A batched yaw search at the
+    coarsest level (yaw_search) widens the ROTATION basin to +-yaw_span
+    rad, covering sharp-turn transients of the constant-velocity prior;
+    yaw_steps=0 disables it. Jittable; fixed trip counts.
     """
     pose = init_pose
     stats = None
     for li, vm in enumerate(vmaps):
+        if li == 0 and yaw_steps > 0:
+            pose = yaw_search(
+                vm, scan, valid, pose,
+                span=yaw_span, steps=yaw_steps,
+                huber=huber * vm.voxel_size / vmaps[-1].voxel_size,
+            )
         # Coarse levels: fewer iters, wider huber (their residuals are
         # voxel-quantization-noisy); the finest level gets the full count.
         last = li == len(vmaps) - 1

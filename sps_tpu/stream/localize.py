@@ -133,6 +133,7 @@ def run_localization(
     seed: int = 0,
     baseline_weights: str | None = None,
     epsilon: float | None = None,
+    cache: dict | None = None,
     log=print,
 ) -> dict:
     """Returns {ate_rmse, per-scan errors, kept fraction}.
@@ -146,46 +147,69 @@ def run_localization(
         import dataclasses
 
         cfg = dataclasses.replace(cfg, threshold=epsilon)
+    # `cache` (shared across calls by the experiment driver): compiled
+    # filters / registration programs are reused across {run x seq x
+    # epsilon} — epsilon is a TRACED argument of the streaming filter
+    # (stream/engine.py), so a threshold sweep shares one executable.
+    cache = cache if cache is not None else {}
     scans, gt_poses = blt.load_sequences_raw(cfg.data.root, [sequence])
     map_points = blt.load_map(cfg.data.root, cfg.data.map_file)
     # Two-level registration pyramid: the coarse map (16x voxel) widens
     # the convergence basin to a few meters (the constant-velocity prior
     # for scan 1 starts a full step off), the fine map (4x) recovers
     # centimeter accuracy. See register.register_pyramid.
-    vmap_coarse = reg.build_voxel_map(map_points, voxel_size=16 * cfg.voxel_size)
-    vmap = reg.build_voxel_map(map_points, voxel_size=4 * cfg.voxel_size)
+    if "vmaps" not in cache:
+        cache["vmaps"] = (
+            reg.build_voxel_map(map_points, voxel_size=16 * cfg.voxel_size),
+            reg.build_voxel_map(map_points, voxel_size=4 * cfg.voxel_size),
+        )
+    vmap_coarse, vmap = cache["vmaps"]
     filt = None
     mask_fn = None
     if filter_mode == "sps":
-        filt = StreamingFilter(cfg, variables, map_points)
+        if "sps" in cache:
+            filt = cache["sps"]
+            filt.eps = cfg.threshold
+        else:
+            filt = cache["sps"] = StreamingFilter(cfg, variables, map_points)
     elif filter_mode == "mask":
         # Voxel-overlap-only baseline at the reference's semantics
         # (mask.py:61,108-113: quantize at ds = MODEL.VOXEL_SIZE, keep the
         # scan's map-overlapping voxels; we keep the original points of
         # those voxels rather than publishing dequantized voxel corners).
-        from sps_tpu.ops import hash as vhash
-        from sps_tpu.ops import voxelize as vox
-        from sps_tpu.stream.engine import build_map_table
+        if "mask" in cache:
+            mask_table, mask_fn = cache["mask"]
+        else:
+            from sps_tpu.ops import hash as vhash
+            from sps_tpu.ops import voxelize as vox
+            from sps_tpu.stream.engine import build_map_table
 
-        mask_table, _ = build_map_table(map_points, cfg.voxel_size)
+            mask_table, _ = build_map_table(map_points, cfg.voxel_size)
 
-        @jax.jit
-        def mask_fn(table, sx, sv, pose):
-            pts = transform_points(sx, pose)
-            coords = vox.quantize(pts, cfg.voxel_size)
-            q = jnp.concatenate(
-                [jnp.zeros((sx.shape[0], 1), jnp.int32), coords], axis=-1
-            )
-            return (vhash.lookup(table, q, sv) >= 0) & sv
+            @jax.jit
+            def mask_fn(table, sx, sv, pose):
+                pts = transform_points(sx, pose)
+                coords = vox.quantize(pts, cfg.voxel_size)
+                q = jnp.concatenate(
+                    [jnp.zeros((sx.shape[0], 1), jnp.int32), coords], axis=-1
+                )
+                return (vhash.lookup(table, q, sv) >= 0) & sv
+
+            cache["mask"] = (mask_table, mask_fn)
     elif filter_mode in ("mos4d", "mapmos", "lts"):
         # Baseline filter nodes (reference loc_exp_general.bash:71-111 runs
         # these in the same loop). Their checkpoints are separate artifacts
         # in the reference (10_scans.ckpt / mapmos.ckpt / best_model.pth);
         # without converted weights we initialize randomly — the plumbing
         # and timing are exercised, the filtering quality is not.
-        filt = _make_baseline_filter(
-            cfg, filter_mode, map_points, weights_dir=baseline_weights
-        )
+        if filter_mode in cache:
+            filt = cache[filter_mode]
+            if hasattr(filt, "buffer"):  # MOS4D scan buffer: fresh sequence
+                filt.buffer = []
+        else:
+            filt = cache[filter_mode] = _make_baseline_filter(
+                cfg, filter_mode, map_points, weights_dir=baseline_weights
+            )
     eps = cfg.threshold if filter_mode == "sps" else None
     ns = cfg.tpu.scan_points
     rng = np.random.default_rng(seed)
@@ -193,9 +217,11 @@ def run_localization(
     # vmap is passed as an argument (NOT closed over): closure arrays are
     # baked into the program as constants and send XLA compile time from
     # seconds to tens of minutes at map scale.
-    reg_fn = jax.jit(
-        lambda vms, s, v, p: reg.register_pyramid(vms, s, v, p, iters=icp_iters)
-    )
+    if "reg_fn" not in cache:
+        cache["reg_fn"] = jax.jit(
+            lambda vms, s, v, p: reg.register_pyramid(vms, s, v, p, iters=icp_iters)
+        )
+    reg_fn = cache["reg_fn"]
 
     est_list: list[np.ndarray] = []
     kept_frac = []
