@@ -47,9 +47,12 @@ import numpy as np
 @click.option("--baseline-weights", type=str, default=None,
               help="dir with {mos4d,mapmos,lts} checkpoints "
                    "(scripts/train_baselines.py); random init if absent")
+@click.option("--refine/--no-refine", default=True,
+              help="re-filter at the registered pose and register once "
+                   "more (pose-consuming filters; see localize.py)")
 @click.option("--out", type=str, default="./exp_results")
 def main(config, weights, sequences, filters, runs, data, init_noise,
-         epsilon, baseline_weights, out):
+         epsilon, baseline_weights, refine, out):
     import jax
 
     from sps_tpu import config as cfg_mod
@@ -95,7 +98,7 @@ def main(config, weights, sequences, filters, runs, data, init_noise,
                         cfg, variables, seq, mode,
                         init_noise=init_noise, seed=run,
                         baseline_weights=baseline_weights,
-                        epsilon=eps, cache=compiled,
+                        epsilon=eps, refine=refine, cache=compiled,
                     )
                     r["filter"] = flt
                     r.update(run=run, seq=seq, wall_s=round(time.time() - t0, 1))

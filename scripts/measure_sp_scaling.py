@@ -1,0 +1,250 @@
+#!/usr/bin/env python3
+"""Spatial-sharding (sp) scaling evidence on the virtual CPU mesh.
+
+The sp dryrun (MULTICHIP_r0*.json) proves the sharded program compiles
+and executes; this script quantifies WHAT the sharding moves, so the
+"path to city-scale maps" claim (docs/DESIGN.md §5) carries numbers:
+
+  * For each sp width in {2, 4, 8} and each source-assembly mode
+    (all-gather vs boundary ghost exchange), compile the streaming
+    per-scan program over an N-device virtual CPU mesh
+    (xla_force_host_platform_device_count) and COUNT the collectives in
+    the optimized HLO, summing their output bytes — the actual ICI
+    traffic per scan dispatch.
+  * Analytically compare per-conv assembly bytes at NCLT extent
+    (config_nclt.yaml capacities): all-gather moves the full level's
+    activations, ghost exchange only the slab surface
+    (ghost_frac * block rows) — the asymptotic argument for sp.
+
+Writes exp_results/sp_scaling.json and prints a markdown table (pasted
+into docs/DESIGN.md §5 by the committer).
+
+Run standalone (it forces JAX_PLATFORMS=cpu before importing jax):
+    python scripts/measure_sp_scaling.py
+"""
+
+import json
+import os
+import re
+import sys
+import time
+
+_HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _HERE)
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+flags = re.sub(r"--xla_force_host_platform_device_count=\d+", "", flags)
+flags += (
+    " --xla_force_host_platform_device_count=8"
+    # single-core box: give CPU collectives ample rendezvous time
+    # instead of aborting (see tests/conftest.py)
+    " --xla_cpu_collective_call_terminate_timeout_seconds=3600"
+    " --xla_cpu_collective_timeout_seconds=3600"
+    " --xla_cpu_collective_call_warn_stuck_timeout_seconds=600"
+)
+os.environ["XLA_FLAGS"] = flags.strip()
+
+import jax
+
+# The axon TPU plugin overrides JAX_PLATFORMS from the environment; the
+# config update below wins because backends initialize on first use
+# (same mechanism as tests/conftest.py).
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+
+def log(m):
+    print(f"[{time.strftime('%H:%M:%S')}] {m}", file=sys.stderr, flush=True)
+
+
+_DTYPE_BYTES = {
+    "f64": 8, "f32": 4, "bf16": 2, "f16": 2,
+    "s64": 8, "u64": 8, "s32": 4, "u32": 4, "s16": 2, "u16": 2,
+    "s8": 1, "u8": 1, "pred": 1,
+}
+
+# `%all-gather.3 = bf16[4,160,1024]{...} all-gather(` — capture result
+# shape + op kind. Tuple-shaped collectives list shapes inside `(...)`;
+# we sum every typed shape on the line's LHS.
+_SHAPE_RE = re.compile(r"(\w+)\[([\d,]*)\]")
+_COLLECTIVES = ("all-gather", "all-to-all", "all-reduce", "collective-permute",
+                "reduce-scatter")
+
+
+def _line_bytes(line: str) -> int:
+    lhs = line.split(" = ", 1)[1] if " = " in line else line
+    lhs = lhs.split("(", 1)[0]  # result shape(s) only, not operands
+    total = 0
+    for dt, dims in _SHAPE_RE.findall(lhs):
+        if dt not in _DTYPE_BYTES:
+            continue
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        total += n * _DTYPE_BYTES[dt]
+    return total
+
+
+def collective_stats(hlo_text: str) -> dict:
+    out = {k: {"count": 0, "bytes": 0} for k in _COLLECTIVES}
+    for line in hlo_text.splitlines():
+        for kind in _COLLECTIVES:
+            # op application looks like `= shape kind(` or `kind-start(`
+            if f" {kind}(" in line or f" {kind}-start(" in line:
+                out[kind]["count"] += 1
+                out[kind]["bytes"] += _line_bytes(line)
+                break
+    out["total_bytes"] = sum(v["bytes"] for v in out.values() if isinstance(v, dict))
+    out["total_count"] = sum(v["count"] for v in out.values() if isinstance(v, dict))
+    return out
+
+
+def measured_rows(cfg_path: str):
+    """Compile the sp streaming per-scan program at each width/mode and
+    read the collectives out of the optimized HLO."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from sps_tpu import config as cfg_mod
+    from sps_tpu import train as tr
+    from sps_tpu.data import synthetic
+    from sps_tpu.parallel.mesh import make_mesh
+    from sps_tpu.stream.engine import StreamingFilter
+
+    cfg = cfg_mod.load(cfg_path, data_root="/tmp")
+    ns = cfg.tpu.scan_points
+    if ns >= 65536:
+        # BLT bench scale: the bench world (where slab surfaces are thin
+        # relative to blocks, the regime sp targets).
+        import bench
+
+        map_pts, scans, _, valids = bench._make_data(cfg, 2)
+        sx, sv = scans[0], valids[0]
+        pose = np.eye(4, dtype=np.float32)
+    else:
+        root = "/tmp/sp_scaling_world"
+        if not os.path.isdir(root):
+            synthetic.generate_dense(
+                root, sequences=("sp",), scans_per_seq=2, extent=12.0,
+                n_stable=14, map_density=140.0, scan_density=9.0,
+            )
+        map_pts = np.load(os.path.join(root, "maps", "base_map.asc.npy"))[:, :3]
+        scan = np.load(os.path.join(root, "sequence", "sp", "scans", "000000.npy"))
+        sx = np.zeros((ns, 3), np.float32)
+        sv = np.zeros((ns,), bool)
+        k = min(len(scan), ns)
+        sx[:k], sv[:k] = scan[:k, :3], True
+        pose = np.eye(4, dtype=np.float32)
+
+    state = tr.create_state(cfg, jax.random.PRNGKey(0), 1)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    rows = []
+    for n_sp in (2, 4, 8):
+        # Ghost rows per shard are its slab SURFACE — roughly constant as
+        # the block shrinks — so the frac (of a block) must scale with the
+        # shard count: 0.25 at sp=2 measured tight, 2x per doubling.
+        for mode, frac in (("all-gather", 0.0), ("ghost", 0.125 * n_sp)):
+            mesh = make_mesh(n_sp, axis="sp")
+            t0 = time.perf_counter()
+            filt = StreamingFilter(
+                cfg, variables, map_pts, mesh=mesh, sp_ghost_frac=frac
+            )
+            lowered = filt._fn.lower(
+                filt.variables, filt.map_grid, jnp.asarray(sx)[None],
+                jnp.asarray(sv)[None],
+                jnp.zeros((1, ns), jnp.float32), jnp.asarray(pose)[None],
+                jnp.float32(0.5),
+            )
+            compiled = lowered.compile()
+            dt = time.perf_counter() - t0
+            stats = collective_stats(compiled.as_text())
+            # Execute once: proves the program runs and ghost caps hold.
+            scores, keep, st = filt(sx, sv, np.zeros((ns,), np.float32), pose)
+            overflow = bool(np.asarray(st["overflow"]))
+            rows.append({
+                "n_sp": n_sp, "mode": mode, "ghost_frac": frac,
+                "compile_s": round(dt, 1), "overflow": overflow,
+                **{k: v for k, v in stats.items()},
+            })
+            log(f"sp={n_sp} {mode}: {stats['total_count']} collectives, "
+                f"{stats['total_bytes']/1e6:.2f} MB/scan, compile {dt:.0f}s, "
+                f"overflow={overflow}")
+    return rows
+
+
+def analytic_nclt(cfg_path: str):
+    """Per-conv assembly bytes at NCLT capacities: all-gather vs ghost.
+
+    Brick levels move (cap, bs, bs, bs*T*C) activations; row levels
+    (cap, T*C). Ghost exchange moves ghost_cap = frac * block rows of the
+    same row width REGARDLESS of sp width (the slab surface belongs to
+    one neighbor pair), while all-gather moves the whole level every conv.
+    """
+    from sps_tpu import config as cfg_mod
+
+    cfg = cfg_mod.load(cfg_path, data_root="/tmp")
+    sc = cfg.sps_config(batch_size=1)
+    bs, T = sc.brick_side, 2
+    planes = (8, 16, 32, 64, 64, 32, 16, 8)
+    # channel width seen by the (most expensive) block conv at each level
+    width = {0: 8, 1: 16, 2: 32, 3: 64, 4: 64}
+    rows = []
+    for li in range(5):
+        cap = (sc.caps.bricks[li] if li < sc.row_from
+               else sc.caps.voxels[li])
+        row_elems = (bs * bs * bs * T * width[li] if li < sc.row_from
+                     else T * width[li])
+        level_bytes = cap * row_elems * 2  # bf16
+        for n_sp in (2, 4, 8):
+            blk = cap // n_sp
+            # surface rows per shard are ~constant in n_sp (see measured_rows)
+            ghost_rows = int(0.125 * n_sp * blk)
+            rows.append({
+                "level": li, "rep": "brick" if li < sc.row_from else "row",
+                "cap": cap, "n_sp": n_sp,
+                "allgather_mb_per_conv": round(level_bytes / 1e6, 3),
+                "ghost_mb_per_conv": round(ghost_rows * row_elems * 2 / 1e6, 3),
+            })
+    return rows
+
+
+def main():
+    cfg_meas = os.path.join(_HERE, "config", "config.yaml")
+    cfg_nclt = os.path.join(_HERE, "config", "config_nclt.yaml")
+    rows = measured_rows(cfg_meas)
+    nclt = analytic_nclt(cfg_nclt)
+    out = {"measured": rows, "analytic_nclt": nclt,
+           "note": ("measured: optimized-HLO collective counts/bytes of the "
+                    "sp streaming per-scan program at config_loc_small "
+                    "capacities on the virtual CPU mesh; analytic: per-conv "
+                    "assembly bytes at config_nclt capacities, bf16")}
+    os.makedirs(os.path.join(_HERE, "exp_results"), exist_ok=True)
+    path = os.path.join(_HERE, "exp_results", "sp_scaling.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    log(f"wrote {path}")
+
+    print("| sp | mode | collectives | MB/scan | compile s | overflow |")
+    print("|---|---|---|---|---|---|")
+    for r in rows:
+        print(f"| {r['n_sp']} | {r['mode']} | {r['total_count']} "
+              f"| {r['total_bytes']/1e6:.2f} | {r['compile_s']} "
+              f"| {r['overflow']} |")
+    print()
+    print("| level | rep | cap | all-gather MB/conv | ghost MB/conv (sp=8) |")
+    print("|---|---|---|---|---|")
+    for li in range(5):
+        rs = [r for r in nclt if r["level"] == li]
+        r8 = [r for r in rs if r["n_sp"] == 8][0]
+        print(f"| L{li} | {r8['rep']} | {r8['cap']} "
+              f"| {r8['allgather_mb_per_conv']} | {r8['ghost_mb_per_conv']} |")
+
+
+if __name__ == "__main__":
+    main()

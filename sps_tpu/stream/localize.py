@@ -133,6 +133,7 @@ def run_localization(
     seed: int = 0,
     baseline_weights: str | None = None,
     epsilon: float | None = None,
+    refine: bool = True,
     cache: dict | None = None,
     log=print,
 ) -> dict:
@@ -141,7 +142,20 @@ def run_localization(
     prior: "cv" = constant-velocity from past estimates (the reference's
     CVM node); "odom" = noisy ground truth per scan, emulating the
     odometry input the reference node consumes (sps_node.py:37 subscribes
-    to /odometry_node/odometry_estimate — the pose prior is external)."""
+    to /odometry_node/odometry_estimate — the pose prior is external).
+
+    refine: pose-consuming filters (sps/mask/mos4d/mapmos) re-filter at
+    the REGISTERED pose and register once more. The filters' map-overlap
+    test is only as good as the pose it is evaluated at; under the
+    self-referential cv prior a transient prior error (> the voxel size)
+    corrupts the overlap bit, the corrupted filter degrades the next
+    registration, and the loop compounds (measured: 0.33 m excursions
+    over ~15 scans on the synthetic changed-world loop, against 0.01-0.05
+    m elsewhere). One filter-at-estimate iteration breaks the cycle. The
+    reference sidesteps it by consuming an EXTERNAL odometry prior every
+    scan (sps_node.py:37); with prior="odom" this flag is a no-op in
+    effect. Applied uniformly to every pose-consuming filter so the
+    comparison stays fair."""
     assert filter_mode in FILTERS
     if epsilon is not None:
         import dataclasses
@@ -244,24 +258,30 @@ def run_localization(
         else:
             guess = cv_predict(est_list)
 
+        def apply_filter(at_pose, rerun=False):
+            if filter_mode == "sps":
+                _, keep_d, _ = filt(sx, sv, sl, at_pose.astype(np.float32))
+                return np.asarray(keep_d)
+            if filter_mode == "mask":
+                return np.asarray(
+                    mask_fn(
+                        mask_table,
+                        jnp.asarray(sx),
+                        jnp.asarray(sv),
+                        jnp.asarray(at_pose.astype(np.float32)),
+                    )
+                ) & sv
+            if filter_mode in ("mos4d", "mapmos"):
+                if rerun and hasattr(filt, "buffer"):
+                    filt.buffer.pop()  # replace the newest buffered scan
+                km = filt(scan[:n, :3].astype(np.float32), at_pose.astype(np.float32))
+                keep = sv.copy()
+                keep[:n] &= np.asarray(km)[:n]
+                return keep
+            return sv
+
         keep = sv
-        if filter_mode == "sps":
-            scores, keep_d, stats = filt(sx, sv, sl, guess.astype(np.float32))
-            keep = np.asarray(keep_d)
-        elif filter_mode == "mask":
-            keep = np.asarray(
-                mask_fn(
-                    mask_table,
-                    jnp.asarray(sx),
-                    jnp.asarray(sv),
-                    jnp.asarray(guess.astype(np.float32)),
-                )
-            ) & sv
-        elif filter_mode in ("mos4d", "mapmos"):
-            km = filt(scan[:n, :3].astype(np.float32), guess.astype(np.float32))
-            keep = sv.copy()
-            keep[:n] &= np.asarray(km)[:n]
-        elif filter_mode == "lts":
+        if filter_mode == "lts":
             # LTS resamples via the range image; register its kept points.
             kept_pts = filt(scan[:n, :4].astype(np.float32))
             m = min(len(kept_pts), ns)
@@ -270,15 +290,26 @@ def run_localization(
             sv = np.zeros((ns,), bool)
             sv[:m] = True
             keep = sv
+        else:
+            keep = apply_filter(guess)
 
         kept = keep & sv
-        kept_frac.append(kept.sum() / max(sv.sum(), 1))
         pose, stats_r = reg_fn(
             (vmap_coarse, vmap),
             jnp.asarray(sx),
             jnp.asarray(kept),
             jnp.asarray(guess.astype(np.float32)),
         )
+        if refine and filter_mode in ("sps", "mask", "mos4d", "mapmos"):
+            est0 = np.asarray(pose)
+            kept = apply_filter(est0, rerun=True) & sv
+            pose, stats_r = reg_fn(
+                (vmap_coarse, vmap),
+                jnp.asarray(sx),
+                jnp.asarray(kept),
+                jnp.asarray(est0.astype(np.float32)),
+            )
+        kept_frac.append(kept.sum() / max(sv.sum(), 1))
         est = np.asarray(pose)
         est_list.append(est)
         terr = np.linalg.norm(est[:3, 3] - gt_poses[i][:3, 3])
