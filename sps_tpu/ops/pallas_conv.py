@@ -41,6 +41,49 @@ _G = 16
 _VMEM_BUDGET = 3 * 1024 * 1024
 
 
+def _pick_g_onepass(b, k, h, bs, tcin_h, tcout_b, itemsize):
+    """Largest g whose ONE-PASS working set (input block + the FULL k*k
+    weight + f32 accumulator, double-buffered) fits the budget, else 0.
+
+    The kx grid dimension exists because L2-width weights overflow VMEM;
+    at L0 widths the whole kernel fits, and the one-pass grid reads the
+    assembled halo ONCE instead of k times (the (B//g, k) grid re-DMAs
+    the same input block every kx step — 3x the conv's HBM traffic at
+    k=3, ~2 GB extra per L0 block conv at BLT scale)."""
+    w_full = k * k * tcin_h * tcout_b * itemsize
+    for g in (16, 8, 4, 2, 1):
+        if b % g:
+            continue
+        in_blk = g * h * h * tcin_h * itemsize
+        acc = g * bs * bs * tcout_b * 4
+        out = g * bs * bs * tcout_b * itemsize
+        if 2 * (in_blk + w_full) + acc + out <= _VMEM_BUDGET:
+            return g
+    return 0
+
+
+def _zmm_kernel_onepass(hz_ref, w_ref, out_ref, *, k: int, bs: int):
+    """One grid step per row block: all k*k banded matmuls with the full
+    weight VMEM-resident; the input block is DMA'd exactly once."""
+    hzv = hz_ref[:]
+    acc = None
+    for kx in range(k):
+        for ky in range(k):
+            a = jax.lax.slice(
+                hzv,
+                (0, kx, ky, 0),
+                (hzv.shape[0], kx + bs, ky + bs, hzv.shape[3]),
+            )
+            p = jax.lax.dot_general(
+                a,
+                w_ref[kx, ky],
+                dimension_numbers=(((3,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc = p if acc is None else acc + p
+    out_ref[:] = acc.astype(out_ref.dtype)
+
+
 def _zmm_kernel(hz_ref, w_ref, out_ref, acc_ref, *, k: int, bs: int):
     # Grid = (row blocks, kx). The kx weight slab streams per step while
     # the f32 accumulator persists across the (innermost) kx dimension.
@@ -115,6 +158,25 @@ def _pallas_forward(hz, wz, k, bs, g, interpret):
     b = hz.shape[0]
     h = bs + (k - 1)
     tcout = wz.shape[-1] // bs
+    g1 = _pick_g_onepass(b, k, h, bs, hz.shape[3], wz.shape[-1],
+                         hz.dtype.itemsize)
+    if g1:
+        return pl.pallas_call(
+            functools.partial(_zmm_kernel_onepass, k=k, bs=bs),
+            grid=(b // g1,),
+            in_specs=[
+                pl.BlockSpec((g1, h, h, hz.shape[3]), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((k, k, hz.shape[3], bs * tcout),
+                             lambda i: (0, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((g1, bs, bs, bs * tcout),
+                                   lambda i: (i, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b, bs, bs, bs * tcout), hz.dtype),
+            interpret=interpret,
+        )(hz, wz)
     return pl.pallas_call(
         functools.partial(_zmm_kernel, k=k, bs=bs),
         grid=(b // g, k),
@@ -208,6 +270,34 @@ def _fused_kernel(hz_ref, w_ref, scale_ref, bias_ref, occ_ref, res_ref,
         out_ref[:] = (y * occ_ref[:].astype(jnp.float32)).astype(out_ref.dtype)
 
 
+def _fused_kernel_onepass(hz_ref, w_ref, scale_ref, bias_ref, occ_ref,
+                          res_ref, out_ref, *, k: int, bs: int, relu: bool,
+                          has_res: bool):
+    """_zmm_kernel_onepass + the inference epilogue of _fused_kernel."""
+    hzv = hz_ref[:]
+    acc = None
+    for kx in range(k):
+        for ky in range(k):
+            a = jax.lax.slice(
+                hzv,
+                (0, kx, ky, 0),
+                (hzv.shape[0], kx + bs, ky + bs, hzv.shape[3]),
+            )
+            p = jax.lax.dot_general(
+                a,
+                w_ref[kx, ky],
+                dimension_numbers=(((3,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc = p if acc is None else acc + p
+    y = acc * scale_ref[:].astype(jnp.float32) + bias_ref[:].astype(jnp.float32)
+    if has_res:
+        y = y + res_ref[:].astype(jnp.float32)
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    out_ref[:] = (y * occ_ref[:].astype(jnp.float32)).astype(out_ref.dtype)
+
+
 def zband_conv_fused(hz, wz, scale, bias, occ, res=None, *, k: int, bs: int,
                      relu: bool = True, interpret: bool = False):
     """Inference-only fused conv+BN(+res)+relu+mask in the z-folded layout.
@@ -240,6 +330,43 @@ def zband_conv_fused(hz, wz, scale, bias, occ, res=None, *, k: int, bs: int,
         res = jnp.zeros((b, bs, bs, tb), hz.dtype)
     import functools as _ft
 
+    # One-pass grid when the full weight fits VMEM (L0 widths): the halo
+    # block and the occ/res epilogue operands are DMA'd once instead of
+    # once per kx step. The epilogue operands add to the working set:
+    # shrink the budgeted g accordingly via the extra tcout term.
+    g1 = _pick_g_onepass(b, k, h, bs, hz.shape[3], tb, hz.dtype.itemsize)
+    while g1 and (
+        2 * (g1 * h * h * hz.shape[3] + k * k * hz.shape[3] * tb
+             + 2 * g1 * bs * bs * tb) * hz.dtype.itemsize
+        + g1 * bs * bs * tb * 4
+        > _VMEM_BUDGET
+    ):
+        g1 //= 2
+        while g1 and b % g1:
+            g1 //= 2
+    if g1:
+        return pl.pallas_call(
+            _ft.partial(_fused_kernel_onepass, k=k, bs=bs, relu=relu,
+                        has_res=has_res),
+            grid=(b // g1,),
+            in_specs=[
+                pl.BlockSpec((g1, h, h, hz.shape[3]), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((k, k, hz.shape[3], tb), lambda i: (0, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # scale
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # bias
+                pl.BlockSpec((g1, bs, bs, tb), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),  # occ
+                pl.BlockSpec((g1, bs, bs, tb), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),  # res
+            ],
+            out_specs=pl.BlockSpec((g1, bs, bs, tb), lambda i: (i, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b, bs, bs, tb), hz.dtype),
+            interpret=interpret,
+        )(hz, wz, scale.astype(jnp.float32), bias.astype(jnp.float32), occ,
+          res)
     return pl.pallas_call(
         _ft.partial(_fused_kernel, k=k, bs=bs, relu=relu, has_res=has_res),
         grid=(b // g, k),

@@ -147,10 +147,14 @@ class StreamingFilter:
     """Holds the resident map + compiled per-scan function.
 
     batch > 1 processes that many scans per dispatch (each with its own
-    pose) — the voxel machinery is batch-native, so this amortizes
-    dispatch overhead and fills the MXU at the small deep levels. The
-    reference node is strictly one scan at a time (sps_node.py:88);
-    batched mode is the TPU-idiomatic throughput configuration."""
+    pose). Measured reality (docs/DESIGN.md §7): level capacities scale
+    linearly with batch, so DEVICE time is linear in scans (batch=4 ≈ 4x
+    batch-1) — batching amortizes only the per-dispatch host/link
+    overhead, which pipelined dispatch of batch-1 programs (bench.py's
+    throughput protocol) already achieves without adding latency. Keep
+    batch=1 for serving; batch>1 exists for offline bulk scoring where a
+    single dispatch per N scans simplifies the driver. The reference node
+    is strictly one scan at a time (sps_node.py:88)."""
 
     def __init__(
         self,
