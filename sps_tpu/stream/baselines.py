@@ -127,7 +127,18 @@ class MapMOSFilter:
         )
         center = pose[:3, 3]
         d = np.linalg.norm(self.map_points - center[None], axis=1)
-        local = self.map_points[d < self.crop][: self.nm]  # mapmos_node.py:63-80
+        local = self.map_points[d < self.crop]  # mapmos_node.py:63-80
+        if len(local) > self.nm:
+            # Random subsample to capacity, NOT `[: self.nm]` truncation:
+            # map arrays are spatially ordered, so truncating keeps one
+            # geographic half and the unsupported half of the scan reads
+            # as dynamic (measured: kept 0.48 + ATE divergence on a CLEAN
+            # world). Training subsamples the crop the same way
+            # (scripts/train_baselines.py _subsample).
+            sel = np.random.default_rng(self.counter).choice(
+                len(local), self.nm, replace=False
+            )
+            local = local[sel]
         nt = self.ns + self.nm
         xyz = np.zeros((nt, 3), np.float32)
         t = np.zeros((nt,), np.int32)
