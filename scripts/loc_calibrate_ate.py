@@ -46,14 +46,19 @@ def log(m):
 @click.option("--weights", "-w", default="./ckpt_loc_movers/best")
 @click.option("--baselines", default="./ckpt_baselines")
 @click.option("--grid", default="0.3,0.5,0.7,0.84,0.9,0.95,0.992")
+@click.option("--val-seqs", default=None,
+              help="csv val sequences for the sweep objective (mean ATE); "
+              "default = config val + '<val>_clean' when that sequence "
+              "exists (a clean control in the objective keeps the "
+              "calibrated epsilon from over-pruning unchanged worlds)")
 @click.option("--runs", type=int, default=2)
 @click.option("--init-noise", type=float, default=0.05,
               help="translation noise (m) on the externally-seeded scans; "
               "differentiates runs of the otherwise deterministic loop")
 @click.option("--filters", default="sps,mask,raw,mos4d,mapmos,lts")
 @click.option("--out", default="./exp_results")
-def main(config, data, weights, baselines, grid, runs, init_noise, filters,
-         out):
+def main(config, data, weights, baselines, grid, val_seqs, runs, init_noise,
+         filters, out):
     from sps_tpu import config as cfg_mod
     from sps_tpu.stream import localize as loc
     from sps_tpu.utils import checkpoint as ckpt
@@ -64,20 +69,35 @@ def main(config, data, weights, baselines, grid, runs, init_noise, filters,
                  "batch_stats": restored["batch_stats"]}
 
     cache = {}
-    val_seq = cfg.data.val[0]
+    if val_seqs:
+        vseqs = [s.strip() for s in val_seqs.split(",")]
+    else:
+        vseqs = list(cfg.data.val)
+        clean = cfg.data.val[0] + "_clean"
+        if os.path.isdir(os.path.join(cfg.data.root, "sequence", clean)):
+            vseqs.append(clean)
+    log(f"sweep objective: mean ATE over {vseqs}")
     sweep = []
     for eps in [float(x) for x in grid.split(",")]:
-        r = loc.run_localization(
-            cfg, variables, val_seq, "sps", seed=0, epsilon=eps,
-            refine=True, cache=cache, log=lambda s: None,
-        )
-        sweep.append({"epsilon": eps, "ate_rmse": round(r["ate_rmse"], 4),
-                      "kept_frac": round(r["kept_frac_mean"], 3)})
-        log(f"val {val_seq} eps={eps}: ATE {r['ate_rmse']:.3f} m "
-            f"kept {r['kept_frac_mean']:.2f}")
+        ates, kepts = [], []
+        for vs in vseqs:
+            r = loc.run_localization(
+                cfg, variables, vs, "sps", seed=0, epsilon=eps,
+                refine=True, cache=cache, log=lambda s: None,
+            )
+            ates.append(r["ate_rmse"])
+            kepts.append(r["kept_frac_mean"])
+        sweep.append({
+            "epsilon": eps,
+            "ate_rmse": round(float(np.mean(ates)), 4),
+            "per_seq": {s: round(a, 4) for s, a in zip(vseqs, ates)},
+            "kept_frac": round(float(np.mean(kepts)), 3),
+        })
+        log(f"val {vseqs} eps={eps}: mean ATE {np.mean(ates):.3f} m "
+            f"({['%.3f' % a for a in ates]}) kept {np.mean(kepts):.2f}")
     best = min(sweep, key=lambda s: s["ate_rmse"])
     eps_ate = best["epsilon"]
-    log(f"ATE-optimal epsilon on val: {eps_ate} (ATE {best['ate_rmse']})")
+    log(f"ATE-optimal epsilon on val: {eps_ate} (mean ATE {best['ate_rmse']})")
 
     # Record both calibrations next to the checkpoint: threshold (the one
     # deployed, ATE-optimal) + the F1 curve already in calibration.json.
@@ -133,8 +153,8 @@ def main(config, data, weights, baselines, grid, runs, init_noise, filters,
 
     lines = [
         "Trained checkpoint `ckpt_loc_movers/best` (60 epochs, movers "
-        "dataset), epsilon calibrated on the val sequence's localization "
-        f"ATE ({eps_ate}; sweep in ckpt_loc_movers/calibration.json). "
+        "dataset), epsilon calibrated on mean val localization ATE over "
+        f"{vseqs} ({eps_ate}; sweep in ckpt_loc_movers/calibration.json). "
         f"Runs: run 0 exact external seed, run 1 with {init_noise} m "
         "init noise on the seeded scans. Baselines trained by "
         "scripts/train_baselines.py (ckpt_baselines/).",
