@@ -39,6 +39,10 @@ def main():
     ap.add_argument("--row-from", type=int, default=None)
     ap.add_argument("--zband-levels", type=int, default=None)
     ap.add_argument("--fused", action="store_true")
+    ap.add_argument("--dump-hlo", default=None,
+                    help="write stage-3 (unet) optimized HLO here so trace "
+                    "fusion.N names map to op_name metadata (per-layer "
+                    "attribution of the device trace)")
     args = ap.parse_args()
 
     import jax
@@ -177,6 +181,11 @@ def main():
     s = stage_unet(variables, lv, p, val0)
     jax.block_until_ready(s)
     log(f"  compile {time.perf_counter()-t0:.0f}s")
+    if args.dump_hlo:
+        txt = stage_unet.lower(variables, lv, p, val0).compile().as_text()
+        with open(args.dump_hlo, "w") as f:
+            f.write(txt)
+        log(f"stage-3 optimized HLO -> {args.dump_hlo}")
     if args.fused:
         t0 = time.perf_counter()
         log("compiling fused")

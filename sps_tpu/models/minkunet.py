@@ -259,7 +259,11 @@ class SpConv(nn.Module):
             # copies at BLT scale).
             out = feats @ wp
             if bias is not None:
-                out = out + jnp.tile(bias, reps)
+                # Cast the tiled bias to the compute dtype: an f32 bias
+                # promotes the whole (B, bs^3, T*C) tensor chain to f32
+                # (and its 2-lane head shape pads 64x in T(8,128) tiles) —
+                # measured 4.7 ms of the head's elementwise passes.
+                out = out + jnp.tile(bias, reps).astype(out.dtype)
             return mask_any(out, occ) if self.mask_out else out
         if _is_brick(lvl):
             wd = bk.pack_dense_kernel(w, self.num_time)
@@ -616,7 +620,10 @@ class MinkUNet(nn.Module):
         for b in _blocks("block8", cfg.layers[7], p[7] + d0, p[7], t, cfg.block_kernel, cfg.conv_mode, cfg.sp_axis, cfg.remat):
             x = b(x, l0, occ[0], train)
 
-        # Head: 1x1 conv with bias (minkunet.py:152-158).
+        # Head: 1x1 conv with bias (minkunet.py:152-158). (A per-point
+        # head — gather N pre-head rows, then 1x1 — was measured SLOWER
+        # e2e (12.1 vs 12.5 scans/s): 131k 32-byte row gathers cost more
+        # than the dense 5.8M-slot matmul once the bias stays bf16.)
         x = SpConv(p[7], cfg.out_channels, 1, 1, t, use_bias=True, name="final")(
             x, l0, occ[0]
         )
