@@ -6,7 +6,9 @@
 # Two-tier test workflow: `make test-fast` runs the unit/oracle files
 # (hash, sparse-conv oracles, ME order, converter, geometry/augment,
 # halo VJP, native data plane, registration) in a few minutes on one
-# CPU core; `make test` adds the compile-heavy model/e2e/mesh files
+# CPU core (measured r4 on this host: test_convert 2m15s after moving it
+# to the gather engine + one shared init; the other files are seconds);
+# `make test` adds the compile-heavy model/e2e/mesh files
 # (engine parity, train->resume->predict, dp/sp on the 8-device virtual
 # mesh, streaming, baselines) and costs >1 h cold. CI gates merges on
 # the full suite; iterate locally with the fast tier.

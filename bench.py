@@ -207,7 +207,13 @@ def main():
         "metric": "streaming_scans_per_sec",
         "value": round(sps, 2),
         "unit": "scans/s",
+        # The reference publishes no numbers (BASELINE.md); the denominator
+        # is the 10 Hz sensor-rate budget its online node must sustain,
+        # NOT a measured reference throughput. vs_baseline stays for the
+        # driver contract; vs_10hz_budget is the honest name.
         "vs_baseline": round(sps / 10.0, 2),
+        "vs_10hz_budget": round(sps / 10.0, 2),
+        "baseline_definition": "10hz_sensor_rate_budget_not_measured_reference",
         "sync_scans_per_sec": round(sync_sps, 2),
         "p50_latency_ms": round(p50 * 1e3, 3),
         "p90_latency_ms": round(float(np.percentile(lat, 90)) * 1e3, 3),

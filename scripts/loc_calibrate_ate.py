@@ -119,8 +119,11 @@ def main(config, data, weights, baselines, grid, val_seqs, runs, init_noise,
         with open(sidecar, "w") as f:
             json.dump(sc, f, indent=2)
 
-    # Final table at the deployed epsilon.
-    cfg_e = dataclasses.replace(cfg, threshold=float(eps_ate))
+    # Final table: the ATE-calibrated epsilon applies to the SPS filter
+    # only (via the epsilon kwarg below). Baselines keep their own
+    # operating thresholds from cfg — LTSFilter reads cfg.threshold
+    # (localize.py), which must stay the reference's 0.84
+    # (stability_filter.py:36), not the SPS calibration.
     seqs = list(cfg.data.test)
     flts = [f.strip() for f in filters.split(",")]
     os.makedirs(out, exist_ok=True)
@@ -132,7 +135,7 @@ def main(config, data, weights, baselines, grid, val_seqs, runs, init_noise,
                     t0 = time.time()
                     try:
                         r = loc.run_localization(
-                            cfg_e, variables, seq, flt, seed=run,
+                            cfg, variables, seq, flt, seed=run,
                             init_noise=init_noise if run else 0.0,
                             baseline_weights=os.path.abspath(baselines),
                             refine=True, cache=cache, log=lambda s: None,

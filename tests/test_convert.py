@@ -6,6 +6,8 @@ torch layout -> flax), cover every parameter, and produce a model whose
 forward runs. Kernel-order permutations are exercised both ways.
 """
 
+import functools
+
 import numpy as np
 import jax
 
@@ -15,14 +17,25 @@ from sps_tpu import config as cfg_mod
 
 
 def _cfg():
+    # Gather engine: the converter is engine-independent (all engines share
+    # one parameter tree), and the gather graph compiles ~an order of
+    # magnitude faster on one CPU core than brick/region — this file lives
+    # in the FAST_TESTS tier (Makefile) and must stay minutes, not tens.
     return cfg_mod.Config(
         data=cfg_mod.DataConfig(root="/tmp"),
         train=cfg_mod.TrainConfig(batch_size=1),
         tpu=cfg_mod.TPUConfig(
             scan_points=256, submap_points=256, cell_capacity=1024,
-            voxels=(1024, 512, 256, 128, 64),
+            voxels=(1024, 512, 256, 128, 64), engine="gather",
         ),
     )
+
+
+@functools.lru_cache(maxsize=1)
+def _state():
+    # One model init shared by every test in this file (it was the whole
+    # cost of the file: three full-forward XLA compiles).
+    return tr.create_state(_cfg(), jax.random.PRNGKey(0), 1)
 
 
 def _flatten(d, prefix=""):
@@ -37,8 +50,7 @@ def _flatten(d, prefix=""):
 
 
 def test_roundtrip_flax_torch_flax():
-    cfg = _cfg()
-    state = tr.create_state(cfg, jax.random.PRNGKey(0), 1)
+    state = _state()
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 
     sd = convert.state_dict_from_variables(variables)
@@ -61,7 +73,7 @@ def test_roundtrip_flax_torch_flax():
 
 def test_converted_variables_run_forward():
     cfg = _cfg()
-    state = tr.create_state(cfg, jax.random.PRNGKey(0), 1)
+    state = _state()
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     sd = convert.state_dict_from_variables(variables)
     back = convert.variables_from_state_dict(sd)
@@ -85,8 +97,7 @@ def test_converted_variables_run_forward():
 
 
 def test_mos4d_mapmos_prefix_strip():
-    cfg = _cfg()
-    state = tr.create_state(cfg, jax.random.PRNGKey(0), 1)
+    state = _state()
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     sd = convert.state_dict_from_variables(variables, prefix="mos.MinkUNet.")
     back = convert.variables_from_state_dict(sd, strip_prefix="mos.MinkUNet.")
