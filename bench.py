@@ -76,6 +76,13 @@ def main():
     ap.add_argument("--bricks", default=None, help="csv per-level caps (batch budget)")
     ap.add_argument("--row-from", type=int, default=None)
     ap.add_argument("--zband-levels", type=int, default=None)
+    ap.add_argument("--int8", action="store_true", default=None,
+                    help="int8 MXU math for brick-level 3^3 convs "
+                    "(TPU.INT8; parity-gated by tests/test_int8_parity.py)")
+    ap.add_argument("--no-int8", dest="int8", action="store_false")
+    ap.add_argument("--topo-every", type=int, default=None,
+                    help="rebuild streaming topology every N scans, reuse "
+                    "the cached pyramid in between (TPU.TOPO_EVERY)")
     ap.add_argument("--batch", type=int, default=int(os.environ.get("BENCH_BATCH", "1")),
                     help="scans per dispatch (atlas engine); throughput mode")
     ap.add_argument("--no-tput", action="store_true",
@@ -101,6 +108,10 @@ def main():
         over["row_from"] = args.row_from
     if args.zband_levels is not None:
         over["zband_levels"] = args.zband_levels
+    if args.int8 is not None:
+        over["int8"] = args.int8
+    if args.topo_every is not None:
+        over["topo_every"] = args.topo_every
     if over:
         cfg = dataclasses.replace(cfg, tpu=dataclasses.replace(cfg.tpu, **over))
     n_scans, ns = 24, cfg.tpu.scan_points

@@ -38,6 +38,7 @@ def main():
     ap.add_argument("--bricks", default=None, help="csv per-level brick caps (batch budget)")
     ap.add_argument("--row-from", type=int, default=None)
     ap.add_argument("--zband-levels", type=int, default=None)
+    ap.add_argument("--int8", action="store_true")
     ap.add_argument("--fused", action="store_true")
     ap.add_argument("--dump-hlo", default=None,
                     help="write stage-3 (unet) optimized HLO here so trace "
@@ -77,6 +78,8 @@ def main():
         tpu_over["row_from"] = args.row_from
     if args.zband_levels is not None:
         tpu_over["zband_levels"] = args.zband_levels
+    if args.int8:
+        tpu_over["int8"] = True
     if tpu_over:
         cfg = dataclasses.replace(cfg, tpu=dataclasses.replace(cfg.tpu, **tpu_over))
 

@@ -71,6 +71,15 @@ class TPUConfig:
     # Rematerialize residual blocks in the backward pass (training memory
     # vs FLOPs trade; see MinkUNetConfig.remat).
     remat: bool = False
+    # int8 MXU math for the brick-level 3^3 convs at inference (see
+    # MinkUNetConfig.int8; training is unaffected).
+    int8: bool = False
+    # Streaming topology reuse (atlas engine): rebuild the topology
+    # pyramid every N scans and run the cheap cached-topology program in
+    # between (stream/engine.py). 0 disables. Exact whenever the cached
+    # brick set covers the scan; uncovered fringe points are counted in
+    # stats.topo_miss_points and score 0.5 until the next rebuild.
+    topo_every: int = 0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -119,6 +128,7 @@ class Config:
                 conv_mode=self.tpu.conv_mode,
                 zband_levels=self.tpu.zband_levels,
                 remat=self.tpu.remat,
+                int8=self.tpu.int8,
             ),
             engine=self.tpu.engine,
             brick_side=self.tpu.brick_side,
@@ -173,5 +183,7 @@ def load(path: str, data_root: str | None = None) -> Config:
             join_extent=tuple(tpu.get("JOIN_EXTENT", TPUConfig.join_extent)),
             bf16=bool(tpu.get("BF16", False)),
             remat=bool(tpu.get("REMAT", False)),
+            int8=bool(tpu.get("INT8", False)),
+            topo_every=int(tpu.get("TOPO_EVERY", 0)),
         ),
     )

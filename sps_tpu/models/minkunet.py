@@ -66,6 +66,14 @@ class MinkUNetConfig:
     # outputs]x for ~1/3 extra forward FLOPs — the TPU-idiomatic trade
     # when training at large capacities brushes the HBM ceiling.
     remat: bool = False
+    # Inference-only int8 quantization of the brick-level 3^3 convs (the
+    # five >4 ms/scan convs of the round-3 attribution all run there):
+    # dynamic per-tensor activation scales, per-channel weight scales,
+    # int8 MXU conv + f32 dequant (ops.brick.brick_conv_int8). The stem
+    # stays bf16 (int8 measured 0.86x at its k=5/2-channel shape) and
+    # training always runs the float path. Parity gate:
+    # tests/test_int8.py (uIoU within 0.5 pt on the trained movers ckpt).
+    int8: bool = False
     # Spatial sharding (parallel/spatial.py): name of the mesh axis over
     # which the brick/row dimension of every level is sharded. When set,
     # activations flow between convs as device-LOCAL blocks; each conv
@@ -221,6 +229,10 @@ class SpConv(nn.Module):
     # re-masks; saves one full-tensor pass per conv — see docs/DESIGN.md).
     mask_out: bool = True
     sp_axis: str | None = None  # see MinkUNetConfig.sp_axis
+    # int8 MXU math for brick-level k=3 convs (callers set this only at
+    # inference; see MinkUNetConfig.int8). Parameters are unchanged —
+    # quantization is derived from the float kernel at call time.
+    int8: bool = False
 
     @nn.compact
     def __call__(self, feats, lvl, occ, epilogue=None):
@@ -228,8 +240,8 @@ class SpConv(nn.Module):
         per-channel BN 'scale'/'bias', channel-repeated 'occ_rep', optional
         masked 'res', and 'relu' — fused into the Pallas conv kernel."""
         k = self.ksize**3
-        w = self.param("kernel", _kaiming, (k, self.time_kernel, self.cin, self.cout))
-        w = w.astype(feats.dtype)
+        w0 = self.param("kernel", _kaiming, (k, self.time_kernel, self.cin, self.cout))
+        w = w0.astype(feats.dtype)
         center = None
         if self.sp_axis is not None and self.ksize > 1:
             # Input is the device-local block; the (possibly remapped)
@@ -283,6 +295,13 @@ class SpConv(nn.Module):
             # Unfolded levels under conv_mode="zband" use the halo assembly
             # (the measured-best dense-brick formulation at wide channels).
             mode = "halo" if self.conv_mode == "zband" else self.conv_mode
+            if self.int8 and self.ksize == 3:
+                # Quantize from the float master kernel, not the bf16 cast.
+                wd8 = bk.pack_dense_kernel(w0, self.num_time)
+                return bk.brick_conv_int8(
+                    feats, lvl.nbr27, wd8, occ, mask_out=self.mask_out,
+                    center=center,
+                )
             return bk.brick_conv(
                 feats, lvl.nbr27, wd, occ, mode, mask_out=self.mask_out,
                 center=center,
@@ -398,6 +417,7 @@ class BasicBlock(nn.Module):
     block_kernel: int = 3
     conv_mode: str = "region"
     sp_axis: str | None = None  # see MinkUNetConfig.sp_axis
+    int8: bool = False  # inference-only; see MinkUNetConfig.int8
 
     @nn.compact
     def __call__(self, feats, lvl, occ, train: bool):
@@ -452,6 +472,7 @@ class BasicBlock(nn.Module):
             )(out, lvl, occ,
               epilogue={"scale": s2, "bias": b2, "occ_rep": occ_rep,
                         "res": res, "relu": True})
+        q8 = self.int8 and not train
         out = SpConv(
             self.cin,
             self.planes,
@@ -461,6 +482,7 @@ class BasicBlock(nn.Module):
             conv_mode=self.conv_mode,
             mask_out=False,
             sp_axis=sp,
+            int8=q8,
             name="conv1",
         )(feats, lvl, occ)
         out = MaskedBatchNorm(self.planes, sp_axis=sp, name="norm1")(out, occ, train)
@@ -474,6 +496,7 @@ class BasicBlock(nn.Module):
             conv_mode=self.conv_mode,
             mask_out=False,
             sp_axis=sp,
+            int8=q8,
             name="conv2",
         )(out, lvl, occ)
         out = MaskedBatchNorm(self.planes, sp_axis=sp, name="norm2")(out, occ, train)
@@ -492,7 +515,7 @@ class BasicBlock(nn.Module):
 
 def _blocks(
     name, n, cin, planes, num_time, block_kernel=3, conv_mode="region",
-    sp_axis=None, remat=False,
+    sp_axis=None, remat=False, int8=False,
 ):
     # static_argnums indexes flax's inner core_fn(scope, *call_args):
     # `train` is call arg 3 -> core_fn arg 4.
@@ -507,6 +530,7 @@ def _blocks(
                 block_kernel,
                 conv_mode,
                 sp_axis,
+                int8,
                 name=f"{name}_{i}",
             )
         )
@@ -573,22 +597,22 @@ class MinkUNet(nn.Module):
             return relu(y, occ_c)
 
         x = down(out_p1, "conv1p1s2", d0, d0, l1, "bn1", occ[1], fold[1])
-        for b in _blocks("block1", cfg.layers[0], d0, p[0], t, cfg.block_kernel, cfg.conv_mode, cfg.sp_axis, cfg.remat):
+        for b in _blocks("block1", cfg.layers[0], d0, p[0], t, cfg.block_kernel, cfg.conv_mode, cfg.sp_axis, cfg.remat, cfg.int8):
             x = b(x, l1, occ[1], train)
         out_b1p2 = x
 
         x = down(x, "conv2p2s2", p[0], p[0], l2, "bn2", occ[2], fold[2])
-        for b in _blocks("block2", cfg.layers[1], p[0], p[1], t, cfg.block_kernel, cfg.conv_mode, cfg.sp_axis, cfg.remat):
+        for b in _blocks("block2", cfg.layers[1], p[0], p[1], t, cfg.block_kernel, cfg.conv_mode, cfg.sp_axis, cfg.remat, cfg.int8):
             x = b(x, l2, occ[2], train)
         out_b2p4 = x
 
         x = down(x, "conv3p4s2", p[1], p[1], l3, "bn3", occ[3], fold[3])
-        for b in _blocks("block3", cfg.layers[2], p[1], p[2], t, cfg.block_kernel, cfg.conv_mode, cfg.sp_axis, cfg.remat):
+        for b in _blocks("block3", cfg.layers[2], p[1], p[2], t, cfg.block_kernel, cfg.conv_mode, cfg.sp_axis, cfg.remat, cfg.int8):
             x = b(x, l3, occ[3], train)
         out_b3p8 = x
 
         x = down(x, "conv4p8s2", p[2], p[2], l4, "bn4", occ[4], fold[4])
-        for b in _blocks("block4", cfg.layers[3], p[2], p[3], t, cfg.block_kernel, cfg.conv_mode, cfg.sp_axis, cfg.remat):
+        for b in _blocks("block4", cfg.layers[3], p[2], p[3], t, cfg.block_kernel, cfg.conv_mode, cfg.sp_axis, cfg.remat, cfg.int8):
             x = b(x, l4, occ[4], train)
 
         # Decoder (minkunet.py:107-158,188-217).
@@ -602,22 +626,22 @@ class MinkUNet(nn.Module):
 
         x = up(x, "convtr4p16s2", p[3], p[4], l3, "bntr4", occ[3], fold[3])
         x = cat_time(x, out_b3p8, t)
-        for b in _blocks("block5", cfg.layers[4], p[4] + p[2], p[4], t, cfg.block_kernel, cfg.conv_mode, cfg.sp_axis, cfg.remat):
+        for b in _blocks("block5", cfg.layers[4], p[4] + p[2], p[4], t, cfg.block_kernel, cfg.conv_mode, cfg.sp_axis, cfg.remat, cfg.int8):
             x = b(x, l3, occ[3], train)
 
         x = up(x, "convtr5p8s2", p[4], p[5], l2, "bntr5", occ[2], fold[2])
         x = cat_time(x, out_b2p4, t)
-        for b in _blocks("block6", cfg.layers[5], p[5] + p[1], p[5], t, cfg.block_kernel, cfg.conv_mode, cfg.sp_axis, cfg.remat):
+        for b in _blocks("block6", cfg.layers[5], p[5] + p[1], p[5], t, cfg.block_kernel, cfg.conv_mode, cfg.sp_axis, cfg.remat, cfg.int8):
             x = b(x, l2, occ[2], train)
 
         x = up(x, "convtr6p4s2", p[5], p[6], l1, "bntr6", occ[1], fold[1])
         x = cat_time(x, out_b1p2, t)
-        for b in _blocks("block7", cfg.layers[6], p[6] + p[0], p[6], t, cfg.block_kernel, cfg.conv_mode, cfg.sp_axis, cfg.remat):
+        for b in _blocks("block7", cfg.layers[6], p[6] + p[0], p[6], t, cfg.block_kernel, cfg.conv_mode, cfg.sp_axis, cfg.remat, cfg.int8):
             x = b(x, l1, occ[1], train)
 
         x = up(x, "convtr7p2s2", p[6], p[7], l0, "bntr7", occ[0], fold[0])
         x = cat_time(x, out_p1, t)
-        for b in _blocks("block8", cfg.layers[7], p[7] + d0, p[7], t, cfg.block_kernel, cfg.conv_mode, cfg.sp_axis, cfg.remat):
+        for b in _blocks("block8", cfg.layers[7], p[7] + d0, p[7], t, cfg.block_kernel, cfg.conv_mode, cfg.sp_axis, cfg.remat, cfg.int8):
             x = b(x, l0, occ[0], train)
 
         # Head: 1x1 conv with bias (minkunet.py:152-158). (A per-point

@@ -147,6 +147,7 @@ class SPSModel(nn.Module):
         train: bool = False,
         *,
         grid=None,
+        levels=None,
         p2v=None,
         t_idx=None,
         valid=None,
@@ -154,20 +155,25 @@ class SPSModel(nn.Module):
         """Returns (scores, aux): (N,) per-point sigmoid stability scores
         (0 for padded points) and a dict with overflow flags.
 
-        Two entry modes:
+        Three entry modes:
           * pb: voxelizes the PointBatch (offline train/predict path).
           * grid/p2v/t_idx/valid: a precomputed stride-1 grid whose
             occupancy already encodes scan/map presence — the streaming
             path (the reference's online prune at util.py:85-114 reduces
             to occupancy bits here, so no submap cloud is materialized).
+          * levels/p2v/t_idx/valid: a prebuilt topology pyramid with
+            per-scan occupancy already refreshed (the streaming
+            topology-reuse path, stream/engine.py; atl.refresh_occupancy).
         """
         cfg = self.cfg
         t = cfg.unet.num_time
-        if grid is None:
+        if grid is None and levels is None:
             levels, p2v, overflow = build_pyramid(pb, cfg)
             t_idx, valid = pb.t, pb.valid
-        else:
+        elif levels is None:
             levels, overflow = build_levels_from_grid(grid, cfg)
+        else:
+            overflow = jnp.stack([lv.grid.overflow for lv in levels])
         if cfg.unet.sp_axis is not None:
             # Spatially sharded (parallel/spatial.py): topology above ran
             # replicated on every device; from here on each device works

@@ -600,6 +600,42 @@ def _hybrid_child(
     return jnp.where(valid_rows[None, :], outs, EMPTY)
 
 
+def refresh_occupancy(levels: list, occ0: jnp.ndarray) -> list:
+    """New per-scan occupancy through a CACHED topology pyramid.
+
+    Topology tables (atlas, nbr27, child/parent/oct, parent_rows) depend
+    only on the brick SET; per-slot occupancy is the only per-scan data.
+    When consecutive scans' bricks are covered by a cached set (phantom
+    slots contribute exact zeros through every masked layer), re-running
+    the model with refreshed occupancy is bit-identical to a full rebuild
+    — the basis of the streaming topology-reuse path (stream/engine.py).
+
+    occ0: (Bcap, bs, bs, bs, T) level-0 occupancy scattered onto the
+    cached brick rows (with the map-overlap bit already set). Brick levels
+    re-derive occupancy via their child tables (2^3 max-pool); aliased row
+    levels (alias_row_levels) re-derive it as the slot-max of brick level
+    li - 3. Returns levels with every grid's occ replaced."""
+    out = list(levels)
+    occs: list = [occ0]
+    out[0] = levels[0]._replace(grid=levels[0].grid._replace(occ=occ0))
+    for li in range(1, len(levels)):
+        lv = levels[li]
+        if isinstance(lv, bk.BrickLevel):
+            o = bk.coarse_occ_from_children(occs[li - 1], lv.child)
+            occs.append(o)
+            out[li] = lv._replace(grid=lv.grid._replace(occ=o))
+        else:
+            k = li - 3  # alias_row_levels: side-8 identity
+            assert k >= 0 and occs[k] is not None, (
+                "refresh_occupancy supports brick pyramids with "
+                "alias_row_levels row levels (the shipping atlas config)"
+            )
+            o = jnp.max(occs[k], axis=(1, 2, 3))
+            occs.append(None)
+            out[li] = lv.replace(grid=lv.grid.replace(occ=o))
+    return out
+
+
 def build_levels(
     grid0: AtlasGrid, *, num_levels: int, capacities: tuple
 ) -> list[bk.BrickLevel]:

@@ -186,11 +186,27 @@ class StreamingFilter:
             )
         self.model = SPSModel(self.sps_cfg)
         self.variables = variables
+        # Topology-reuse policy (atlas engine, single device): dispatch
+        # the cheap cached-topology program (see _make_atlas_reuse_fn) and
+        # rebuild the pyramid every `topo_every` scans. 0 disables. The
+        # consumer reads stats["topo_miss_points"] one scan behind (the
+        # pipelined protocol) and calls invalidate() to force an early
+        # rebuild when misses exceed its tolerance.
+        self.topo_every = (
+            getattr(cfg.tpu, "topo_every", 0)
+            if cfg.tpu.engine == "atlas" and mesh is None
+            else 0
+        )
+        self._topo_cache = None
+        self._dispatch_i = 0
         if cfg.tpu.engine == "atlas":
             self.map_grid = build_map_atlas(
                 map_points, cfg.voxel_size, cfg.tpu.brick_side
             )
-            self._fn = self._make_atlas_fn()
+            self._fn = self._make_atlas_fn(with_cache=self.topo_every > 0)
+            self._reuse_fn = (
+                self._make_atlas_reuse_fn() if self.topo_every > 0 else None
+            )
         elif cfg.tpu.engine == "brick":
             self.map_grid = build_map_bricks(
                 map_points, cfg.voxel_size, brick_side=cfg.tpu.brick_side
@@ -225,7 +241,11 @@ class StreamingFilter:
             )
         )
 
-    def _make_atlas_fn(self):
+    def _make_atlas_fn(self, with_cache: bool = False):
+        """with_cache: also return the (levels, map-occupancy) topology
+        cache consumed by the reuse program — only when the reuse policy
+        is active (the cache outputs are extra full-pyramid HBM writes)."""
+        from sps_tpu.models.spsnet import build_levels_from_grid
         from sps_tpu.ops import atlas as atl
         from sps_tpu.ops import brick as bk
 
@@ -264,9 +284,10 @@ class StreamingFilter:
             overlap = grid.occ[..., 1] * mocc
             occ = grid.occ.at[..., 0].set(overlap)
             grid2 = grid._replace(occ=occ)
+            levels, lvl_overflow = build_levels_from_grid(grid2, scfg)
             scores, aux = model.apply(
                 variables,
-                grid=grid2,
+                levels=levels,
                 p2v=p2s,
                 t_idx=jnp.ones((nb * n,), jnp.int32),
                 valid=vflat,
@@ -279,11 +300,87 @@ class StreamingFilter:
                 "n_scan_voxels": jnp.sum(grid.occ[..., 1], dtype=jnp.float32).astype(jnp.int32),
                 "n_submap_voxels": jnp.sum(overlap, dtype=jnp.float32).astype(jnp.int32),
                 "n_kept": jnp.sum(keep.astype(jnp.int32)),
+                "overflow": jnp.any(aux["overflow"]) | jnp.any(lvl_overflow),
+                "topo_miss_points": jnp.zeros((), jnp.int32),
+            }
+            out = scores.reshape(nb, n), keep.reshape(nb, n), stats
+            return out + ((levels, mocc),) if with_cache else out
+
+        return jax.jit(fn) if (with_cache and self.mesh is None) else self._wrap(fn)
+
+    def _make_atlas_reuse_fn(self):
+        """Per-scan function over a CACHED topology pyramid (the dominant
+        dispatch of the topology-reuse policy; see __call__).
+
+        Consecutive sensor-rate scans share almost all bricks, but the
+        full path rebuilds the pyramid from scratch every scan (~5 ms of
+        topology + the L0 compaction inside voxelize). Topology depends
+        only on the brick SET, so this program replaces all of it with ONE
+        dense-atlas gather per point (row lookup on the cached grid) + the
+        occupancy scatter + atl.refresh_occupancy — bit-identical scores
+        whenever the cached set covers the scan. Points whose brick is NOT
+        covered are counted in stats.topo_miss_points (their score
+        devoxelizes to sigmoid(0) = 0.5); the caller's rebuild policy
+        bounds how long such fringe points can persist."""
+        from sps_tpu.ops import atlas as atl
+
+        cfg = self.cfg
+        model = self.model
+        vsize = cfg.voxel_size
+        scfg = self.sps_cfg
+        bcap = scfg.caps.bricks[0]
+        bs = scfg.brick_side
+        shift = bs.bit_length() - 1
+        bvol = bs**3
+
+        def fn(variables, levels, mocc, scan_xyz, valid, labels, poses, eps):
+            nb, n = scan_xyz.shape[:2]
+            xyz = (
+                jnp.einsum("bij,bnj->bni", poses[:, :3, :3], scan_xyz)
+                + poses[:, None, :3, 3]
+            )
+            vflat = valid.reshape(nb * n)
+            coords = vox.quantize(xyz.reshape(nb * n, 3), vsize)
+            batch_idx = jnp.repeat(jnp.arange(nb, dtype=jnp.int32), n)
+            l0 = levels[0].grid
+            bc = coords >> shift
+            local = coords & (bs - 1)
+            p2b = atl.atlas_rows(l0, batch_idx, bc)
+            p2b = jnp.where(vflat, p2b, vhash.EMPTY)
+            miss = vflat & (p2b < 0)
+            lflat = (local[:, 0] * bs + local[:, 1]) * bs + local[:, 2]
+            point2slot = jnp.where(p2b >= 0, p2b * bvol + lflat, vhash.EMPTY)
+            pb = jnp.where(p2b >= 0, p2b, bcap)
+            occ = (
+                jnp.zeros((bcap + 1, bvol, 2), jnp.float32)
+                .at[pb, lflat, 1]
+                .max(vflat.astype(jnp.float32))
+            )[:bcap].reshape(bcap, bs, bs, bs, 2)
+            occ = occ.astype(l0.occ.dtype)
+            overlap = occ[..., 1] * mocc
+            occ = occ.at[..., 0].set(overlap)
+            levels2 = atl.refresh_occupancy(levels, occ)
+            scores, aux = model.apply(
+                variables,
+                levels=levels2,
+                p2v=point2slot,
+                t_idx=jnp.ones((nb * n,), jnp.int32),
+                valid=vflat,
+            )
+            keep = (scores <= eps) & vflat
+            stats = {
+                "loss": met.masked_mse(scores, labels.reshape(-1), vflat),
+                "r2": met.masked_r2(scores, labels.reshape(-1), vflat),
+                **met.classification_metrics(scores, labels.reshape(-1), vflat, eps),
+                "n_scan_voxels": jnp.sum(occ[..., 1], dtype=jnp.float32).astype(jnp.int32),
+                "n_submap_voxels": jnp.sum(overlap, dtype=jnp.float32).astype(jnp.int32),
+                "n_kept": jnp.sum(keep.astype(jnp.int32)),
                 "overflow": jnp.any(aux["overflow"]),
+                "topo_miss_points": jnp.sum(miss.astype(jnp.int32)),
             }
             return scores.reshape(nb, n), keep.reshape(nb, n), stats
 
-        return self._wrap(fn)
+        return jax.jit(fn)
 
     def _make_brick_fn(self):
         from sps_tpu.ops import brick as bk
@@ -394,17 +491,45 @@ class StreamingFilter:
                 valid = jnp.asarray(valid)[None]
                 labels = jnp.asarray(labels)[None]
                 pose = jnp.asarray(pose)[None]
-        scores, keep, stats = self._fn(
-            self.variables,
-            self.map_grid if self.cfg.tpu.engine in ("atlas", "brick") else self.map_table,
+        eps = jnp.asarray(self.eps, jnp.float32)
+        args = (
             scan_xyz,
             jnp.asarray(valid),
             jnp.asarray(labels),
             jnp.asarray(pose),
             # eps as a traced argument: every threshold shares ONE compiled
             # program (the epsilon sweep would otherwise recompile per value).
-            jnp.asarray(self.eps, jnp.float32),
+            eps,
         )
+        if self.topo_every > 0:
+            reuse = (
+                self._topo_cache is not None
+                and self._dispatch_i % self.topo_every != 0
+            )
+            self._dispatch_i += 1
+            if reuse:
+                scores, keep, stats = self._reuse_fn(
+                    self.variables, *self._topo_cache, *args
+                )
+            else:
+                scores, keep, stats, cache = self._fn(
+                    self.variables, self.map_grid, *args
+                )
+                self._topo_cache = cache
+        else:
+            scores, keep, stats = self._fn(
+                self.variables,
+                self.map_grid
+                if self.cfg.tpu.engine in ("atlas", "brick")
+                else self.map_table,
+                *args,
+            )
         if squeeze:
             scores, keep = scores[0], keep[0]
         return scores, keep, stats
+
+    def invalidate(self):
+        """Force the next dispatch to rebuild topology (the consumer's
+        miss-policy hook; see topo_every)."""
+        self._topo_cache = None
+        self._dispatch_i = 0

@@ -78,7 +78,24 @@ def restore(path: str, template=None) -> dict[str, Any]:
     tolerated — check key presence with a raw restore first."""
     path = os.path.abspath(path)
     ckptr = ocp.PyTreeCheckpointer()
-    out = ckptr.restore(path) if template is None else ckptr.restore(path, item=template)
+    try:
+        out = ckptr.restore(path) if template is None else ckptr.restore(path, item=template)
+    except ValueError:
+        # Checkpoint saved on a different device topology (e.g. the single
+        # TPU chip) being restored elsewhere (e.g. the 8-virtual-device CPU
+        # test mesh): the recorded shardings don't resolve. Restore as host
+        # numpy arrays instead; callers device_put as needed.
+        import jax
+        import numpy as np
+
+        tree = ckptr.metadata(path).item_metadata.tree
+        args = jax.tree.map(lambda _: ocp.RestoreArgs(restore_type=np.ndarray), tree)
+        out = ckptr.restore(path, restore_args=args)
+        if template is not None:
+            flat = jax.tree_util.tree_leaves(out)
+            out = jax.tree_util.tree_unflatten(
+                jax.tree_util.tree_structure(template), flat
+            )
     cfg_path = path + ".config.json"
     if os.path.exists(cfg_path):
         with open(cfg_path) as f:
