@@ -1,0 +1,230 @@
+"""Fused localization loop: filter -> register in ONE device dispatch.
+
+The reference's full loop is a process pipeline — SPS node filters, the
+external hdl_localization C++ stack registers, ROS moves the clouds
+(exp_pipeline/loc_exp_general.bash:115-146). Here the whole per-scan loop
+is a single jitted function with DEVICE-RESIDENT pose state:
+
+  cv prior (from the last two on-device estimates)
+  -> streaming filter at the prior        (stream/engine.py programs)
+  -> coarse->fine ICP + yaw search        (register.register_pyramid,
+                                           dense-LUT correspondences)
+  [-> refilter at the estimate -> register]   (refine=True)
+
+so consecutive scans chain dispatch-to-dispatch without any device->host
+fetch — the deployment semantics the bench protocol times (the consumer
+reads poses one scan behind). The refine pass always runs on the CACHED
+topology of the same dispatch's first pass (the pose moves centimeters),
+so it costs one UNet, not a rebuild.
+
+The cv prior here composes the last relative motion (k=2); the offline
+driver's cv_predict (stream/localize.py) chordal-means the last k=3. Both
+implement the CVM node's "predict from recent motion"
+(sps_node_cvm.py:87-109); the fused form is exact for constant velocity.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sps_tpu import register as reg
+from sps_tpu.config import Config
+from sps_tpu.stream.engine import StreamingFilter
+
+
+def _se3_inv(p):
+    r = p[:3, :3]
+    t = p[:3, 3]
+    out = jnp.eye(4, dtype=p.dtype)
+    out = out.at[:3, :3].set(r.T)
+    return out.at[:3, 3].set(-r.T @ t)
+
+
+def _se3_log(p):
+    """4x4 -> (6,) [omega, v] se(3) logarithm (per-scan deltas are small;
+    valid for rotation angles < pi)."""
+    r = p[:3, :3]
+    t = p[:3, 3]
+    cos_th = jnp.clip((jnp.trace(r) - 1.0) * 0.5, -1.0, 1.0)
+    th = jnp.arccos(cos_th)
+    sin_th = jnp.sin(th)
+    # vee of the skew part, scaled th / (2 sin th); series-safe at th -> 0.
+    scale = jnp.where(th > 1e-6, th / jnp.maximum(2.0 * sin_th, 1e-12), 0.5)
+    w = scale * jnp.array(
+        [r[2, 1] - r[1, 2], r[0, 2] - r[2, 0], r[1, 0] - r[0, 1]]
+    )
+    kx = jnp.array(
+        [[0.0, -w[2], w[1]], [w[2], 0.0, -w[0]], [-w[1], w[0], 0.0]]
+    )
+    th2 = jnp.maximum(th * th, 1e-12)
+    a = jnp.where(
+        th > 1e-6,
+        (1.0 - th * sin_th / (2.0 * (1.0 - cos_th + 1e-12))) / th2,
+        1.0 / 12.0,
+    )
+    vinv = jnp.eye(3) - 0.5 * kx + a * (kx @ kx)
+    return jnp.concatenate([w, vinv @ t])
+
+
+def _cv_guess(poses, damp: float = 0.85):
+    """poses (2, 4, 4): previous-2 and previous estimates -> damped
+    constant-velocity prediction prev @ exp(damp * log(prev2^-1 prev)).
+
+    Undamped extrapolation (damp=1) closes a positive-feedback loop with
+    the registration's basin slope: a consistent sub-voxel registration
+    bias becomes a velocity estimate, the next prior starts further off,
+    and the offset compounds geometrically (measured on the static-scan
+    bench: mm -> divergence within ~20 dispatches). The decay caps that
+    gain; at true constant velocity the prior lags by (1-damp) x one
+    step's motion — centimeters at sensor rate, well inside the coarse
+    basin. The reference's CVM node damps the same loop by averaging the
+    last 3-9 relative motions (sps_node_cvm.py:87-109)."""
+    delta = _se3_inv(poses[0]) @ poses[1]
+    return poses[1] @ _exp_se3_loop(damp * _se3_log(delta))
+
+
+def _exp_se3_loop(x):
+    from sps_tpu.register import _exp_se3
+
+    return _exp_se3(x)
+
+
+class LocalizationLoop:
+    """Holds the resident map (filter grid + registration pyramid) and the
+    compiled fused per-scan step; carries pose state across dispatches on
+    device.
+
+    Call once per scan: loop(scan, valid, labels, prior=pose4x4) for the
+    externally seeded scans (the reference consumes an external odometry
+    estimate — sps_node.py:37; the cv prior needs two estimates), then
+    loop(scan, valid, labels). Returns (pose, keep, stats) device arrays;
+    fetch-free callers read them one scan behind."""
+
+    def __init__(
+        self,
+        cfg: Config,
+        variables,
+        map_points: np.ndarray,
+        *,
+        refine: bool = True,
+        icp_iters: int = 12,
+        yaw_steps: int = 13,
+        reg_voxels: tuple = (16.0, 4.0),
+    ):
+        self.cfg = cfg
+        self.refine = refine
+        self.filt = StreamingFilter(cfg, variables, map_points)
+        self.vmaps = tuple(
+            reg.build_voxel_map(map_points, voxel_size=v * cfg.voxel_size)
+            for v in reg_voxels
+        )
+        self.variables = variables
+        self._state = None  # (2, 4, 4) last two pose estimates
+        self._i = 0
+        self._icp_iters = icp_iters
+        self._yaw_steps = yaw_steps
+        self._step_full = self._make_step(reuse=False)
+        self._step_reuse = (
+            self._make_step(reuse=True) if self.filt.topo_every > 0 else None
+        )
+        self._cache = None
+
+    def _make_step(self, reuse: bool):
+        filt = self.filt
+        vmaps = self.vmaps
+        iters = self._icp_iters
+        ysteps = self._yaw_steps
+        refine = self.refine
+        topo = filt.topo_every > 0
+
+        def step(variables, map_or_cache, state, scan, valid, labels, eps,
+                 prior, use_prior):
+            guess = jnp.where(use_prior, prior, _cv_guess(state))
+
+            def filt_at(pose, cache):
+                a = (scan[None], valid[None], labels[None], pose[None], eps)
+                if cache is not None:
+                    s, k, st = filt._reuse_fn(variables, *cache, *a)
+                    return s[0], k[0], st, cache
+                if topo:
+                    s, k, st, c = filt._fn(variables, map_or_cache, *a)
+                    return s[0], k[0], st, c
+                s, k, st = filt._fn(variables, map_or_cache, *a)
+                return s[0], k[0], st, None
+
+            cache0 = map_or_cache if reuse else None
+            _, keep, fstats, cache = filt_at(guess, cache0)
+            pose, rstats = reg.register_pyramid(
+                vmaps, scan, keep & valid, guess,
+                iters=iters, yaw_steps=ysteps,
+            )
+            if refine:
+                # Refilter at the estimate on THIS dispatch's topology
+                # (prior->estimate moves centimeters; misses are counted).
+                _, keep, fstats, _ = filt_at(pose, cache)
+                pose, rstats = reg.register_pyramid(
+                    vmaps, scan, keep & valid, pose,
+                    iters=iters, yaw_steps=0,
+                )
+            new_state = jnp.stack([state[1], pose])
+            stats = {
+                "inliers": rstats["inliers"],
+                "reg_rmse": rstats["rmse"],
+                "n_kept": fstats["n_kept"],
+                "overflow": fstats["overflow"],
+                "topo_miss_points": fstats.get(
+                    "topo_miss_points", jnp.zeros((), jnp.int32)
+                ),
+            }
+            if topo and not reuse:
+                return new_state, pose, keep, stats, cache
+            return new_state, pose, keep, stats
+
+        return jax.jit(step)
+
+    def __call__(self, scan, valid, labels, prior=None):
+        eps = jnp.asarray(self.filt.eps, jnp.float32)
+        if self._state is None:
+            seed = jnp.eye(4, dtype=jnp.float32) if prior is None else jnp.asarray(prior)
+            self._state = jnp.stack([seed, seed])
+        use_prior = jnp.asarray(prior is not None)
+        prior_arr = (
+            jnp.asarray(prior, jnp.float32)
+            if prior is not None
+            else jnp.eye(4, dtype=jnp.float32)
+        )
+        args = (
+            self._state,
+            jnp.asarray(scan),
+            jnp.asarray(valid),
+            jnp.asarray(labels),
+            eps,
+            prior_arr,
+            use_prior,
+        )
+        topo = self.filt.topo_every > 0
+        reuse = (
+            topo
+            and self._cache is not None
+            and self._i % self.filt.topo_every != 0
+        )
+        self._i += 1
+        if reuse:
+            state, pose, keep, stats = self._step_reuse(
+                self.variables, self._cache, *args
+            )
+        else:
+            out = self._step_full(self.variables, self.filt.map_grid, *args)
+            if topo:
+                state, pose, keep, stats, self._cache = out
+            else:
+                state, pose, keep, stats = out
+        self._state = state
+        return pose, keep, stats
+
+    def invalidate(self):
+        self._cache = None
+        self._i = 0
+        self._state = None

@@ -3,6 +3,7 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from sps_tpu import register as reg
 from sps_tpu.data import synthetic
@@ -17,10 +18,12 @@ def _pose(yaw, t):
     return p
 
 
-def test_icp_recovers_perturbation():
+@pytest.mark.parametrize("lut", [True, False])
+def test_icp_recovers_perturbation(lut):
     rng = np.random.default_rng(0)
     world = synthetic.make_world(seed=1, extent=12.0, n_stable=14, ground_points=8000)
-    vmap = reg.build_voxel_map(world, voxel_size=0.4)
+    vmap = reg.build_voxel_map(world, voxel_size=0.4, lut=lut)
+    assert (vmap.lut is not None) == lut
 
     # A scan = subsampled world points in a disk, expressed in a sensor
     # frame displaced by the TRUE pose; start ICP from a perturbed guess.
@@ -47,9 +50,10 @@ def test_icp_recovers_perturbation():
     assert float(stats["rmse"]) < 0.1
 
 
-def test_icp_identity_stays_put():
+@pytest.mark.parametrize("lut", [True, False])
+def test_icp_identity_stays_put(lut):
     world = synthetic.make_world(seed=2, extent=8.0, n_stable=8, ground_points=4000)
-    vmap = reg.build_voxel_map(world, voxel_size=0.4)
+    vmap = reg.build_voxel_map(world, voxel_size=0.4, lut=lut)
     scan = world[::3]
     pose, stats = reg.register(
         vmap, jnp.asarray(scan), jnp.ones(len(scan), bool), jnp.eye(4), iters=5
@@ -68,3 +72,20 @@ def test_normals_are_unit_and_sensible():
     # the majority of the map.
     frac_vertical = (np.abs(n[:, 2]) > 0.9).mean()
     assert frac_vertical > 0.5
+
+
+def test_smallest_evec_matches_eigh():
+    """Power-iteration-on-adjugate normals vs eigh (the eigh lowering
+    OOMs at 2M-voxel maps on TPU — see _smallest_evec docstring)."""
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(500, 3, 3)).astype(np.float32)
+    cov = a @ a.transpose(0, 2, 1) + 1e-6 * np.eye(3)
+    cov[0] = 1e-6 * np.eye(3)  # isotropic: direction undefined, must be finite
+    cov[1] = np.diag([1e-6, 1e-6, 1.0])
+    cov[2] = np.diag([1.0, 1.0, 1e-6])
+    v = np.asarray(reg._smallest_evec(jnp.asarray(cov)))
+    assert np.isfinite(v).all()
+    w, e = np.linalg.eigh(cov)
+    dot = np.abs(np.sum(v * e[:, :, 0], axis=-1))
+    sep = w[:, 1] / np.maximum(w[:, 0], 1e-12)
+    assert (dot[sep > 2.0] > 0.99).all()
