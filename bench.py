@@ -30,26 +30,32 @@ def _log(msg):
     print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
 
 
-def _make_data(cfg, n_scans):
-    """Generate (and cache) the BLT-scale synthetic world + scans."""
+def _make_data(cfg, n_scans, extent=50.0):
+    """Generate (and cache) a synthetic world + scans: BLT scale at the
+    default extent 50 m (~1.2M-point map); extent 110 gives the
+    NCLT-parking-lot scale (~5x map, config_nclt.yaml / BASELINE.md
+    config #3). Surface density is constant, so points scale with
+    area and structure count with (extent/50)^2."""
     from sps_tpu.data import synthetic
 
     ns = cfg.tpu.scan_points
-    cache = f"/tmp/sps_bench_cache_{ns}_{n_scans}.npz"
+    area = (extent / 50.0) ** 2
+    cache = f"/tmp/sps_bench_cache_{ns}_{n_scans}_{int(extent)}.npz"
     if os.path.exists(cache):
         z = np.load(cache)
         return z["stable"], z["scans"], z["labels"], z["valids"]
     rng = np.random.default_rng(0)
     stable = synthetic.make_world(
-        seed=0, extent=50.0, n_stable=120, ground_points=1_200_000
+        seed=0, extent=extent, n_stable=int(120 * area),
+        ground_points=int(1_200_000 * area),
     )
-    clutter = synthetic._boxes(rng, 40, 40.0).astype(np.float32)
+    clutter = synthetic._boxes(rng, int(40 * area), 0.8 * extent).astype(np.float32)
     scans = np.zeros((n_scans, ns, 3), np.float32)
     labels = np.zeros((n_scans, ns), np.float32)
     valids = np.zeros((n_scans, ns), bool)
     for i in range(n_scans):
         ang = 2 * np.pi * i / n_scans
-        pose_xy = 25.0 * np.array([np.cos(ang), np.sin(ang)])
+        pose_xy = (0.5 * extent) * np.array([np.cos(ang), np.sin(ang)])
         pts, lab = synthetic.sample_scan(
             rng, stable, clutter, pose_xy, n_rays=360 * 24, max_r=30.0
         )
@@ -90,11 +96,15 @@ def main():
                     "report only sync-mode latency")
     ap.add_argument("--rounds", type=int, default=3,
                     help="pipelined rounds; best reported")
+    ap.add_argument("--config", default=os.path.join(_HERE, "config", "config.yaml"),
+                    help="config YAML (e.g. config/config_nclt.yaml for the "
+                    "NCLT-scale protocol)")
+    ap.add_argument("--world-extent", type=float, default=50.0,
+                    help="synthetic world half-extent in m (50 = BLT bench "
+                    "scale; 110 = NCLT parking-lot scale)")
     args = ap.parse_args()
 
-    cfg = cfg_mod.load(
-        os.path.join(_HERE, "config", "config.yaml"), data_root="/tmp"
-    )
+    cfg = cfg_mod.load(args.config, data_root="/tmp")
     over = {}
     if args.engine:
         over["engine"] = args.engine
@@ -116,7 +126,7 @@ def main():
         cfg = dataclasses.replace(cfg, tpu=dataclasses.replace(cfg.tpu, **over))
     n_scans, ns = 24, cfg.tpu.scan_points
     _log("generating/loading data")
-    stable, scans, labels, valids = _make_data(cfg, n_scans)
+    stable, scans, labels, valids = _make_data(cfg, n_scans, extent=args.world_extent)
     poses = [np.eye(4, dtype=np.float32)] * n_scans  # already map frame
 
     _log("init model")
@@ -233,6 +243,8 @@ def main():
         "submap_voxels": int(stats["n_submap_voxels"]),
         "overflow": bool(stats["overflow"]),
         "batch": nb,
+        "map_points": int(len(stable)),
+        "config": os.path.basename(args.config),
         "device": str(jax.devices()[0]),
     }
     if tput is not None:

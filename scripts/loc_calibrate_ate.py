@@ -36,6 +36,30 @@ import click
 import numpy as np
 
 
+def epsilon_robustness(sweep, eps_ate, blowup=2.0):
+    """The contiguous epsilon window around the deployed value whose ATE
+    stays within `blowup` x the best — recorded so a deployment nudging
+    epsilon (e.g. upward for recall) sees the measured safe interval and
+    the location of the first cliff instead of discovering it in the
+    field (round-3 finding: eps 0.9 -> 0.0148 m but 0.95 -> 0.0982 m)."""
+    best = min(s["ate_rmse"] for s in sweep)
+    pts = sorted(sweep, key=lambda s: s["epsilon"])
+    ok = [s["ate_rmse"] <= blowup * best for s in pts]
+    idx = [i for i, s in enumerate(pts) if s["epsilon"] == eps_ate]
+    lo = hi = idx[0] if idx else ok.index(True)
+    while lo > 0 and ok[lo - 1]:
+        lo -= 1
+    while hi + 1 < len(pts) and ok[hi + 1]:
+        hi += 1
+    cliff = pts[hi + 1]["epsilon"] if hi + 1 < len(pts) else None
+    return {
+        "window": [pts[lo]["epsilon"], pts[hi]["epsilon"]],
+        "blowup_threshold": blowup,
+        "first_cliff_above": cliff,
+        "note": "ATE <= blowup x best inside window (measured grid points)",
+    }
+
+
 def log(m):
     print(f"[ate-cal {time.strftime('%H:%M:%S')}] {m}", flush=True)
 
@@ -109,6 +133,7 @@ def main(config, data, weights, baselines, grid, val_seqs, runs, init_noise,
             cal = json.load(f)
     cal["ate_sweep"] = sweep
     cal["epsilon_ate"] = eps_ate
+    cal["epsilon_robustness"] = epsilon_robustness(sweep, eps_ate)
     with open(calpath, "w") as f:
         json.dump(cal, f)
     sidecar = os.path.abspath(weights) + ".config.json"

@@ -51,8 +51,11 @@ import numpy as np
               help="re-filter at the registered pose and register once "
                    "more (pose-consuming filters; see localize.py)")
 @click.option("--out", type=str, default="./exp_results")
+@click.option("--fresh", is_flag=True,
+              help="truncate <out>/results.jsonl first (a new campaign "
+                   "table instead of appending to an old protocol's rows)")
 def main(config, weights, sequences, filters, runs, data, init_noise,
-         epsilon, baseline_weights, refine, out):
+         epsilon, baseline_weights, refine, out, fresh):
     import jax
 
     from sps_tpu import config as cfg_mod
@@ -84,6 +87,8 @@ def main(config, weights, sequences, filters, runs, data, init_noise,
     os.makedirs(out, exist_ok=True)
     results = []
     path = os.path.join(out, "results.jsonl")
+    if fresh and os.path.exists(path):
+        os.remove(path)
     compiled = {}  # shared across {run x seq x filter}: compile once
     with open(path, "a") as f:
         for run in range(runs):
@@ -108,16 +113,26 @@ def main(config, weights, sequences, filters, runs, data, init_noise,
                     print(f"[exp] run {run} seq {seq} filter {flt}: "
                           f"ATE {r['ate_rmse']:.3f} m", flush=True)
 
-    # Summary: mean ATE per (seq, filter) over runs (evo_ape table analog).
-    lines = ["| sequence | filter | ATE-RMSE (m) | kept |", "|---|---|---|---|"]
+    # Summary: mean ± std ATE per (seq, filter) over runs, with the
+    # per-run spread in the open (the reference loops NUM_OF_EXPS runs
+    # for exactly this reason — loc_exp_general.bash:34,169; a
+    # single-run table can flip conclusions inside its own variance).
+    lines = [
+        "| sequence | filter | ATE-RMSE mean±std (m) | min..max | runs | kept |",
+        "|---|---|---|---|---|---|",
+    ]
     for seq in seqs:
         for flt in flts:
             rs = [r for r in results if r["seq"] == seq and r["filter"] == flt]
             if not rs:
                 continue
-            ate = float(np.mean([r["ate_rmse"] for r in rs]))
+            a = np.asarray([r["ate_rmse"] for r in rs], np.float64)
             kept = float(np.mean([r["kept_frac_mean"] for r in rs]))
-            lines.append(f"| {seq} | {flt} | {ate:.3f} | {kept:.2f} |")
+            std = a.std(ddof=1) if len(a) > 1 else 0.0
+            lines.append(
+                f"| {seq} | {flt} | {a.mean():.3f} ± {std:.3f} "
+                f"| {a.min():.3f}..{a.max():.3f} | {len(a)} | {kept:.2f} |"
+            )
     with open(os.path.join(out, "summary.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
     print("\n".join(lines))

@@ -147,3 +147,28 @@ def dryrun(n_devices: int) -> None:
     assert np.isfinite(loss), "non-finite loss in multichip dryrun"
     axes = "x".join(f"{k}={v}" for k, v in zip(mesh.axis_names, mesh.devices.shape))
     print(f"dryrun_multichip: {n_devices} devices ({axes}), loss={loss:.4f} ok")
+
+    # Serving path: one sp-sharded StreamingFilter scan over the full
+    # device set (the multi-chip serving configuration — each chip owns a
+    # block of every level's brick/row axis; parallel/spatial.py). This
+    # certifies the SERVE program alongside the train step above.
+    from sps_tpu.stream.engine import StreamingFilter
+
+    sp_mesh = Mesh(np.asarray(jax.devices()[:n_devices]), ("sp",))
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    filt = StreamingFilter(
+        cfg, variables, np.asarray(map_points), mesh=sp_mesh
+    )
+    scores, keep, sstats = filt(
+        np.asarray(batch["xyz"][0]),
+        np.asarray(batch["valid"][0]),
+        np.asarray(batch["label"][0]),
+        np.eye(4, dtype=np.float32),
+    )
+    jax.block_until_ready(scores)
+    ssum = float(jnp.sum(scores))
+    assert np.isfinite(ssum), "non-finite scores in sp streaming dryrun"
+    print(
+        f"dryrun_multichip: sp StreamingFilter scan (sp={n_devices}), "
+        f"kept={int(sstats['n_kept'])} ok"
+    )

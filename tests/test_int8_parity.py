@@ -23,7 +23,8 @@ from sps_tpu.utils import checkpoint as ckpt
 
 _HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _CKPT = os.path.join(_HERE, "ckpt_loc_movers", "best")
-_N_SCANS = 10
+_N_SCANS = 6  # enough points (~50k) for a stable uIoU; keeps the
+# two full-model CPU evals inside the slow tier's per-file budget
 
 
 @pytest.fixture(scope="module")
