@@ -190,23 +190,45 @@ def build_lowered(conv_mode: str, zband_levels: int, engine: str | None):
 
 
 def census(hlo: str):
-    """Parse optimized HLO: copies with sizes, per-opcode byte totals."""
+    """Parse optimized HLO: copies with sizes, per-opcode byte totals.
+
+    Tuple-shaped instructions (multi-output fusions, sort, ...) are
+    counted with the SUM of their component array shapes so per-opcode
+    byte totals don't systematically undercount; any result shape the
+    parser still can't read is tallied in `skipped` so the undercount is
+    visible in the report rather than silent."""
     copies = []
     opcode_count: dict[str, int] = {}
     opcode_bytes: dict[str, int] = {}
+    skipped = 0
+    # An array shape incl. its layout suffix: bf16[8,128]{1,0:T(8,128)}.
+    # Component commas live inside [] or {}, so ", " splits tuple parts.
+    arr = r"[\w]+\[[\d,]*\](?:\{[^}]*\})?"
+    single = re.compile(r"\s*(?:ROOT )?%?[\w.\-]+ = (" + arr + r") (\w+)\(")
+    tup = re.compile(r"\s*(?:ROOT )?%?[\w.\-]+ = \(((?:" + arr + r"(?:, )?)+)\) (\w+)\(")
+    anyinst = re.compile(r"\s*(?:ROOT )?%?[\w.\-]+ = (.+?) ([\w\-]+)\(")
     for line in hlo.splitlines():
-        m = re.match(r"\s*(?:ROOT )?%?[\w.\-]+ = ([\w]+\[[\d,]*\][^ ]*) (\w+)\(",
-                     line)
-        if not m:
-            continue
-        stype, op = m.group(1), m.group(2)
-        b = shape_bytes(stype)
+        m = single.match(line)
+        if m:
+            stype, op = m.group(1), m.group(2)
+            b = shape_bytes(stype)
+        else:
+            mt = tup.match(line)
+            if mt:
+                op = mt.group(2)
+                parts = re.findall(arr, mt.group(1))
+                b = sum(shape_bytes(p) for p in parts)
+                stype = mt.group(1)
+            else:
+                if anyinst.match(line):
+                    skipped += 1
+                continue
         opcode_count[op] = opcode_count.get(op, 0) + 1
         opcode_bytes[op] = opcode_bytes.get(op, 0) + b
         if op == "copy":
             copies.append({"shape": stype, "bytes": b})
     copies.sort(key=lambda c: -c["bytes"])
-    return copies, opcode_count, opcode_bytes
+    return copies, opcode_count, opcode_bytes, skipped
 
 
 def main():
@@ -228,11 +250,12 @@ def main():
             f.write(hlo)
         log(f"HLO -> {args.out} ({len(hlo)/1e6:.1f} MB)")
 
-    copies, count, bbytes = census(hlo)
+    copies, count, bbytes, skipped = census(hlo)
     total_copy = sum(c["bytes"] for c in copies)
     print(json.dumps({
         "conv_mode": args.conv_mode,
         "zband_levels": args.zband_levels,
+        "skipped_unparsed_results": skipped,
         "n_copies": len(copies),
         "copy_bytes_total": total_copy,
         "copy_bytes_gb": round(total_copy / 1e9, 3),

@@ -49,7 +49,16 @@ def _pick_g_onepass(b, k, h, bs, tcin_h, tcout_b, itemsize):
     at L0 widths the whole kernel fits, and the one-pass grid reads the
     assembled halo ONCE instead of k times (the (B//g, k) grid re-DMAs
     the same input block every kx step — 3x the conv's HBM traffic at
-    k=3, ~2 GB extra per L0 block conv at BLT scale)."""
+    k=3, ~2 GB extra per L0 block conv at BLT scale).
+
+    Gated to k == 3: the shared _VMEM_BUDGET carries a ~4.5x measured
+    fudge calibrated on the kx-STREAMED kernel, but the one-pass body
+    unrolls all k*k matmuls with every slice live — at k = 5 (25 live
+    slice/operand pairs vs 9) the real Mosaic stack can exceed the fudge
+    on configs the calibration never covered. k != 3 stays on the
+    streamed grid until the k*k unroll is re-measured."""
+    if k != 3:
+        return 0
     w_full = k * k * tcin_h * tcout_b * itemsize
     for g in (16, 8, 4, 2, 1):
         if b % g:

@@ -36,23 +36,53 @@ def ate_rmse(est: np.ndarray, gt: np.ndarray) -> float:
     return float(np.sqrt((d**2).sum(-1).mean()))
 
 
+def _se3_log_np(p: np.ndarray) -> np.ndarray:
+    """4x4 -> (6,) [omega, v]; valid for rotation angles < pi."""
+    r = p[:3, :3]
+    t = p[:3, 3]
+    cos_th = np.clip((np.trace(r) - 1.0) * 0.5, -1.0, 1.0)
+    th = float(np.arccos(cos_th))
+    if th < 1e-8:
+        return np.concatenate([np.zeros(3), t])
+    w = th / (2.0 * np.sin(th)) * np.array(
+        [r[2, 1] - r[1, 2], r[0, 2] - r[2, 0], r[1, 0] - r[0, 1]]
+    )
+    kx = np.array([[0, -w[2], w[1]], [w[2], 0, -w[0]], [-w[1], w[0], 0.0]])
+    a = (1.0 - th * np.sin(th) / (2.0 * (1.0 - np.cos(th)))) / (th * th)
+    vinv = np.eye(3) - 0.5 * kx + a * (kx @ kx)
+    return np.concatenate([w, vinv @ t])
+
+
+def _se3_exp_np(x: np.ndarray) -> np.ndarray:
+    w, v = x[:3], x[3:]
+    th = float(np.linalg.norm(w))
+    out = np.eye(4)
+    if th < 1e-8:
+        out[:3, 3] = v
+        return out
+    k = w / th
+    kx = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0.0]])
+    s, c = np.sin(th), np.cos(th)
+    out[:3, :3] = np.eye(3) + s * kx + (1 - c) * (kx @ kx)
+    vmat = np.eye(3) + ((1 - c) / th) * kx + ((th - s) / th) * (kx @ kx)
+    out[:3, 3] = vmat @ v
+    return out
+
+
 def cv_predict(poses: list[np.ndarray], k: int = 3) -> np.ndarray:
     """Constant-velocity prior: compose the mean of the last k relative
-    motions onto the last pose (sps_node_cvm.py:87-109 uses the average of
-    recent deltas; we use the chronological mean via repeated halving)."""
+    motions onto the last pose (the reference CVM node averages recent
+    deltas — sps_node_cvm.py:87-109). The mean is taken in se(3) log
+    coordinates (exact for constant velocity; no renormalization step),
+    replacing the earlier matrix-mean + SVD re-orthonormalization, which
+    biases toward the identity for non-collinear rotations."""
     if len(poses) == 0:
         return np.eye(4)
     if len(poses) == 1:
         return poses[-1]
     rel = [np.linalg.inv(poses[i - 1]) @ poses[i] for i in range(max(1, len(poses) - k), len(poses))]
-    # crude chordal mean: average matrices then re-orthonormalize rotation
-    m = np.mean(rel, axis=0)
-    u, _, vt = np.linalg.svd(m[:3, :3])
-    r = u @ np.diag([1.0, 1.0, np.linalg.det(u @ vt)]) @ vt
-    delta = np.eye(4)
-    delta[:3, :3] = r
-    delta[:3, 3] = m[:3, 3]
-    return poses[-1] @ delta
+    mean_log = np.mean([_se3_log_np(d) for d in rel], axis=0)
+    return poses[-1] @ _se3_exp_np(mean_log)
 
 
 def _baseline_variables(weights_dir: str | None, mode: str):

@@ -63,3 +63,23 @@ def test_cv_predict_constant_motion():
     pred = localize.cv_predict(poses)
     want = poses[-1] @ delta
     np.testing.assert_allclose(pred, want, atol=1e-6)
+
+
+def test_se3_log_exp_roundtrip():
+    rng = np.random.default_rng(0)
+    for _ in range(20):
+        x = rng.normal(0, 0.8, 6)
+        p = localize._se3_exp_np(x)
+        np.testing.assert_allclose(localize._se3_log_np(p), x, atol=1e-8)
+
+
+def test_cv_predict_exact_for_constant_screw():
+    """The se(3)-log mean is exact for constant-velocity screw motion —
+    turning + translating (the regime where the old matrix-mean + SVD
+    biased toward identity)."""
+    delta = localize._se3_exp_np(np.array([0.0, 0.0, 0.3, 1.0, 0.2, 0.0]))
+    poses = [np.eye(4)]
+    for _ in range(4):
+        poses.append(poses[-1] @ delta)
+    pred = localize.cv_predict(poses)
+    np.testing.assert_allclose(pred, poses[-1] @ delta, atol=1e-9)
