@@ -86,6 +86,8 @@ def main():
                     help="int8 MXU math for brick-level 3^3 convs "
                     "(TPU.INT8; parity-gated by tests/test_int8_parity.py)")
     ap.add_argument("--no-int8", dest="int8", action="store_false")
+    ap.add_argument("--stem-zband", action="store_true", default=None,
+                    help="fold only the k=5 stem into the zband layout")
     ap.add_argument("--topo-every", type=int, default=None,
                     help="rebuild streaming topology every N scans, reuse "
                     "the cached pyramid in between (TPU.TOPO_EVERY)")
@@ -122,6 +124,8 @@ def main():
         over["int8"] = args.int8
     if args.topo_every is not None:
         over["topo_every"] = args.topo_every
+    if args.stem_zband is not None:
+        over["stem_zband"] = args.stem_zband
     if over:
         cfg = dataclasses.replace(cfg, tpu=dataclasses.replace(cfg.tpu, **over))
     n_scans, ns = 24, cfg.tpu.scan_points

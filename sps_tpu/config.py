@@ -74,6 +74,9 @@ class TPUConfig:
     # int8 MXU math for the brick-level 3^3 convs at inference (see
     # MinkUNetConfig.int8; training is unaffected).
     int8: bool = False
+    # Fold only the k=5 stem into the zband layout (see
+    # MinkUNetConfig.stem_zband).
+    stem_zband: bool = False
     # Streaming topology reuse (atlas engine): rebuild the topology
     # pyramid every N scans and run the cheap cached-topology program in
     # between (stream/engine.py). 0 disables. Exact whenever the cached
@@ -129,6 +132,7 @@ class Config:
                 zband_levels=self.tpu.zband_levels,
                 remat=self.tpu.remat,
                 int8=self.tpu.int8,
+                stem_zband=self.tpu.stem_zband,
             ),
             engine=self.tpu.engine,
             brick_side=self.tpu.brick_side,
@@ -185,5 +189,6 @@ def load(path: str, data_root: str | None = None) -> Config:
             remat=bool(tpu.get("REMAT", False)),
             int8=bool(tpu.get("INT8", False)),
             topo_every=int(tpu.get("TOPO_EVERY", 0)),
+            stem_zband=bool(tpu.get("STEM_ZBAND", False)),
         ),
     )

@@ -66,6 +66,13 @@ class MinkUNetConfig:
     # outputs]x for ~1/3 extra forward FLOPs — the TPU-idiomatic trade
     # when training at large capacities brushes the HBM ceiling.
     remat: bool = False
+    # Fold ONLY the stem conv (k=5, TC 2->16) into the z-band layout
+    # while the rest of the net runs halo mode: the stem's channel counts
+    # fill 2-16 of 128 lanes unfolded, the regime where the zband fold
+    # measured ahead (docs/DESIGN.md §7) — without paying the fold's
+    # 3.33x FLOP inflation on the wide convs that made full zband lose.
+    # Costs one unfold layout copy of the stem output.
+    stem_zband: bool = False
     # Inference-only int8 quantization of the brick-level 3^3 convs (the
     # five >4 ms/scan convs of the round-3 attribution all run there):
     # dynamic per-tensor activation scales, per-channel weight scales,
@@ -571,6 +578,19 @@ class MinkUNet(nn.Module):
             return nn.relu(x)
 
         # Stem (minkunet.py:55-62): kernel (5,5,5,1).
+        stem_fold = (
+            cfg.stem_zband
+            and not fold[0]
+            and _is_brick(l0)
+            and feats.ndim == 5
+            and cfg.sp_axis is None
+        )
+        sfeats = bk.fold_z(feats) if stem_fold else feats
+        socc = (
+            occ[0].reshape(occ[0].shape[0], occ[0].shape[1], occ[0].shape[2], -1)
+            if stem_fold
+            else occ[0]
+        )
         x = SpConv(
             cfg.in_channels,
             d0,
@@ -582,10 +602,11 @@ class MinkUNet(nn.Module):
             sp_axis=cfg.sp_axis,
             name="conv0p1s1",
         )(
-            feats, l0, occ[0]
+            sfeats, l0, socc
         )
-        x = MaskedBatchNorm(d0, sp_axis=cfg.sp_axis, name="bn0")(x, occ[0], train)
-        out_p1 = relu(x, occ[0])
+        x = MaskedBatchNorm(d0, sp_axis=cfg.sp_axis, name="bn0")(x, socc, train)
+        x = relu(x, socc)
+        out_p1 = bk.unfold_z(x, t * d0) if stem_fold else x
 
         # Encoder.
         def down(x, name, cin, cout, coarse, bnname, occ_c, fold_out):

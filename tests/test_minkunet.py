@@ -334,3 +334,39 @@ def test_padded_points_score_zero():
     s = np.asarray(scores)
     assert (s[~np.asarray(pb.valid)] == 0).all()
     assert (s[np.asarray(pb.valid)] > 0).all()
+
+
+def test_stem_zband_matches_halo_stem():
+    """stem_zband folds ONLY the k=5 stem into the zband layout (the
+    tiny-channel regime where the fold pays; DESIGN.md §8). Scores must
+    match the plain halo stem bitwise-close on the same parameters."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sps_tpu.models.minkunet import MinkUNet, MinkUNetConfig
+    from sps_tpu.ops import atlas as atl
+
+    rng = np.random.default_rng(0)
+    n = 400
+    coords = rng.integers(-20, 20, size=(n, 3)).astype(np.int32)
+    t = rng.integers(0, 2, size=n).astype(np.int32)
+    bc = (256, 128, 128, 128, 128)
+    grid, _ = atl.voxelize_bricks(
+        jnp.asarray(coords), jnp.zeros(n, jnp.int32), jnp.asarray(t),
+        jnp.ones(n, bool), num_time=2, brick_capacity=bc[0], brick_side=8,
+        extent=(1, 8, 8, 8),
+    )
+    levels = atl.alias_row_levels(
+        atl.build_levels(grid, num_levels=3, capacities=bc[:3]), 5
+    )
+    feats = (0.5 * levels[0].grid.occ).astype(jnp.bfloat16)
+    cfg_a = MinkUNetConfig(num_time=2, dtype=jnp.bfloat16, conv_mode="halo")
+    cfg_b = dataclasses.replace(cfg_a, stem_zband=True)
+    m_a, m_b = MinkUNet(cfg_a), MinkUNet(cfg_b)
+    v = m_a.init(jax.random.PRNGKey(0), feats, levels, False)
+    out_a = np.asarray(m_a.apply(v, feats, levels, False), np.float32)
+    out_b = np.asarray(m_b.apply(v, feats, levels, False), np.float32)
+    np.testing.assert_allclose(out_a, out_b, atol=1e-2)
