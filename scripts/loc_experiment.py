@@ -47,6 +47,13 @@ import numpy as np
 @click.option("--baseline-weights", type=str, default=None,
               help="dir with {mos4d,mapmos,lts} checkpoints "
                    "(scripts/train_baselines.py); random init if absent")
+@click.option("--prior", type=click.Choice(["odom", "cv"]), default="odom",
+              help="pose prior per scan: 'odom' = noisy external odometry "
+                   "every scan (the reference node's contract, "
+                   "sps_node.py:37 — its filter consumes an external "
+                   "odometry estimate; the faithful experiment protocol); "
+                   "'cv' = self-predicted constant velocity after two "
+                   "seeded scans (the CVM variant, sps_node_cvm.py)")
 @click.option("--refine/--no-refine", default=True,
               help="re-filter at the registered pose and register once "
                    "more (pose-consuming filters; see localize.py)")
@@ -55,7 +62,7 @@ import numpy as np
               help="truncate <out>/results.jsonl first (a new campaign "
                    "table instead of appending to an old protocol's rows)")
 def main(config, weights, sequences, filters, runs, data, init_noise,
-         epsilon, baseline_weights, refine, out, fresh):
+         epsilon, baseline_weights, prior, refine, out, fresh):
     import jax
 
     from sps_tpu import config as cfg_mod
@@ -101,10 +108,11 @@ def main(config, weights, sequences, filters, runs, data, init_noise,
                         eps = float(e)
                     r = loc.run_localization(
                         cfg, variables, seq, mode,
-                        init_noise=init_noise, seed=run,
+                        init_noise=init_noise, seed=run, prior=prior,
                         baseline_weights=baseline_weights,
                         epsilon=eps, refine=refine, cache=compiled,
                     )
+                    r["prior"] = prior
                     r["filter"] = flt
                     r.update(run=run, seq=seq, wall_s=round(time.time() - t0, 1))
                     results.append(r)
@@ -113,26 +121,36 @@ def main(config, weights, sequences, filters, runs, data, init_noise,
                     print(f"[exp] run {run} seq {seq} filter {flt}: "
                           f"ATE {r['ate_rmse']:.3f} m", flush=True)
 
-    # Summary: mean ± std ATE per (seq, filter) over runs, with the
-    # per-run spread in the open (the reference loops NUM_OF_EXPS runs
-    # for exactly this reason — loc_exp_general.bash:34,169; a
+    # Summary: mean ± std ATE per (prior, seq, filter) over runs, with
+    # the per-run spread in the open (the reference loops NUM_OF_EXPS
+    # runs for exactly this reason — loc_exp_general.bash:34,169; a
     # single-run table can flip conclusions inside its own variance).
+    # Built from EVERY row in results.jsonl so multi-invocation campaigns
+    # (e.g. odom primary + cv secondary) summarize together.
+    with open(path) as f:
+        allrows = [json.loads(ln) for ln in f if ln.strip()]
     lines = [
-        "| sequence | filter | ATE-RMSE mean±std (m) | min..max | runs | kept |",
-        "|---|---|---|---|---|---|",
+        "| prior | sequence | filter | ATE-RMSE mean±std (m) | min..max | runs | kept |",
+        "|---|---|---|---|---|---|---|",
     ]
-    for seq in seqs:
-        for flt in flts:
-            rs = [r for r in results if r["seq"] == seq and r["filter"] == flt]
-            if not rs:
-                continue
-            a = np.asarray([r["ate_rmse"] for r in rs], np.float64)
-            kept = float(np.mean([r["kept_frac_mean"] for r in rs]))
-            std = a.std(ddof=1) if len(a) > 1 else 0.0
-            lines.append(
-                f"| {seq} | {flt} | {a.mean():.3f} ± {std:.3f} "
-                f"| {a.min():.3f}..{a.max():.3f} | {len(a)} | {kept:.2f} |"
-            )
+    keys = []
+    for r in allrows:
+        k = (r.get("prior", "cv"), r["seq"], r["filter"])
+        if k not in keys:
+            keys.append(k)
+    for pr, seq, flt in keys:
+        rs = [
+            r for r in allrows
+            if r["seq"] == seq and r["filter"] == flt
+            and r.get("prior", "cv") == pr
+        ]
+        a = np.asarray([r["ate_rmse"] for r in rs], np.float64)
+        kept = float(np.mean([r["kept_frac_mean"] for r in rs]))
+        std = a.std(ddof=1) if len(a) > 1 else 0.0
+        lines.append(
+            f"| {pr} | {seq} | {flt} | {a.mean():.3f} ± {std:.3f} "
+            f"| {a.min():.3f}..{a.max():.3f} | {len(a)} | {kept:.2f} |"
+        )
     with open(os.path.join(out, "summary.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
     print("\n".join(lines))

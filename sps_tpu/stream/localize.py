@@ -69,20 +69,31 @@ def _se3_exp_np(x: np.ndarray) -> np.ndarray:
     return out
 
 
-def cv_predict(poses: list[np.ndarray], k: int = 3) -> np.ndarray:
+def cv_predict(poses: list[np.ndarray], k: int = 3, damp: float = 0.85) -> np.ndarray:
     """Constant-velocity prior: compose the mean of the last k relative
     motions onto the last pose (the reference CVM node averages recent
     deltas — sps_node_cvm.py:87-109). The mean is taken in se(3) log
     coordinates (exact for constant velocity; no renormalization step),
     replacing the earlier matrix-mean + SVD re-orthonormalization, which
-    biases toward the identity for non-collinear rotations."""
+    biases toward the identity for non-collinear rotations.
+
+    damp < 1 decays the extrapolated velocity: the self-referential
+    prior -> filter -> register loop has gain > 1 without it — a
+    consistent sub-voxel registration bias becomes a velocity estimate,
+    the next prior starts further off, the filter's overlap bit degrades
+    there, and the offset compounds geometrically (measured on the
+    5-run movers campaign: every undamped cv run diverged on the
+    changed-world sequence while prior="odom" held 0.04 m). The decay
+    caps the loop gain at the cost of the prior lagging a true constant
+    velocity by (1-damp) x one step — centimeters, inside the coarse
+    basin. Same constant as the fused loop (stream/loop.py _cv_guess)."""
     if len(poses) == 0:
         return np.eye(4)
     if len(poses) == 1:
         return poses[-1]
     rel = [np.linalg.inv(poses[i - 1]) @ poses[i] for i in range(max(1, len(poses) - k), len(poses))]
     mean_log = np.mean([_se3_log_np(d) for d in rel], axis=0)
-    return poses[-1] @ _se3_exp_np(mean_log)
+    return poses[-1] @ _se3_exp_np(damp * mean_log)
 
 
 def _baseline_variables(weights_dir: str | None, mode: str):
