@@ -321,6 +321,19 @@ def run_localization(
                 return keep
             return sv
 
+        # Filter-collapse guard: a pose-consuming filter evaluated at a
+        # bad prior keeps almost nothing (the overlap bit is wrong
+        # everywhere), and registering those few points compounds the
+        # error — the mechanism behind the measured cv-loop divergences
+        # (sps diverged while raw held under the same prior). Below
+        # `floor` of the valid points the filter ABSTAINS for that scan
+        # and the raw cloud registers instead (the reference's epsilon=2
+        # passthrough is the same escape hatch, loc_exp_general.bash:110).
+        floor = 0.15
+
+        def guard(k):
+            return sv.copy() if k.sum() < floor * sv.sum() else k
+
         keep = sv
         if filter_mode == "lts":
             # LTS resamples via the range image; register its kept points.
@@ -332,7 +345,7 @@ def run_localization(
             sv[:m] = True
             keep = sv
         else:
-            keep = apply_filter(guess)
+            keep = guard(apply_filter(guess))
 
         kept = keep & sv
         pose, stats_r = reg_fn(
@@ -343,13 +356,19 @@ def run_localization(
         )
         if refine and filter_mode in ("sps", "mask", "mos4d", "mapmos"):
             est0 = np.asarray(pose)
-            kept = apply_filter(est0, rerun=True) & sv
-            pose, stats_r = reg_fn(
-                (vmap_coarse, vmap),
-                jnp.asarray(sx),
-                jnp.asarray(kept),
-                jnp.asarray(est0.astype(np.float32)),
-            )
+            kept2 = apply_filter(est0, rerun=True) & sv
+            # Refine only helps when the filter still has support at the
+            # estimate; a halved keep count signals the estimate moved
+            # AWAY from the overlap (the compounding direction) — keep
+            # the pre-refine registration then.
+            if kept2.sum() >= max(0.5 * kept.sum(), floor * sv.sum()):
+                kept = kept2
+                pose, stats_r = reg_fn(
+                    (vmap_coarse, vmap),
+                    jnp.asarray(sx),
+                    jnp.asarray(kept),
+                    jnp.asarray(est0.astype(np.float32)),
+                )
         kept_frac.append(kept.sum() / max(sv.sum(), 1))
         est = np.asarray(pose)
         est_list.append(est)
