@@ -15,7 +15,7 @@
 FAST_TESTS = tests/test_hash.py tests/test_sparse.py tests/test_brick.py \
 	tests/test_me_order.py tests/test_convert.py tests/test_halo_vjp.py \
 	tests/test_radius_augment.py tests/test_native.py tests/test_register.py \
-	tests/test_int8.py
+	tests/test_int8.py tests/test_checkpoint_reassoc.py
 
 test-fast:
 	@set -e; for f in $(FAST_TESTS); do \

@@ -630,6 +630,16 @@ def refresh_occupancy(levels: list, occ0: jnp.ndarray) -> list:
                 "refresh_occupancy supports brick pyramids with "
                 "alias_row_levels row levels (the shipping atlas config)"
             )
+            # The aliasing itself must hold (row i of level li IS brick i
+            # of level li-3): a hybridized pyramid (row_from set with
+            # brick_side != 8, via hybridize_levels) would pass the k>=0
+            # guard and get occupancy indexed in the wrong row order —
+            # silently, if the capacities happen to coincide (ADVICE r4).
+            assert lv.grid.occ.shape[0] == occs[k].shape[0], (
+                f"row level {li} rows ({lv.grid.occ.shape[0]}) != brick "
+                f"level {k} bricks ({occs[k].shape[0]}): not the "
+                "alias_row_levels identity; rebuild topology instead"
+            )
             o = jnp.max(occs[k], axis=(1, 2, 3))
             occs.append(None)
             out[li] = lv.replace(grid=lv.grid.replace(occ=o))

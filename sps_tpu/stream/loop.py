@@ -20,7 +20,10 @@ so it costs one UNet, not a rebuild.
 The cv prior here composes the last relative motion (k=2); the offline
 driver's cv_predict (stream/localize.py) chordal-means the last k=3. Both
 implement the CVM node's "predict from recent motion"
-(sps_node_cvm.py:87-109); the fused form is exact for constant velocity.
+(sps_node_cvm.py:87-109). Both damp the extrapolated velocity
+(exp(damp * log(delta)), damp=0.85 — loop-gain cap, see
+localize.cv_predict), so the prior deliberately LAGS a true constant
+velocity by (1-damp) x one step rather than being exact.
 """
 
 from __future__ import annotations

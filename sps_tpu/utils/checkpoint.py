@@ -71,6 +71,46 @@ def keys(path: str) -> set[str]:
         return set(out.keys())
 
 
+def _norm_path(p) -> str:
+    """Normalize a jax key path to a '/'-joined name string so dict
+    (restored) vs NamedTuple/tuple (template) spellings compare."""
+    parts = []
+    for k in p:
+        for attr in ("key", "name", "idx"):
+            if hasattr(k, attr):
+                parts.append(str(getattr(k, attr)))
+                break
+        else:
+            parts.append(str(k))
+    return "/".join(parts)
+
+
+def _reassociate(out, template, path: str):
+    """Rebind restored leaves into the template's structure BY PATH, not
+    blindly by position: equal leaf counts with different key structure
+    would otherwise silently assign parameters to wrong names (ADVICE
+    r4). If path normalization cannot align the two trees (e.g. the
+    serialization renamed tuple slots), fall back to positional WITH a
+    per-leaf shape check, turning silent mis-assignment into an error."""
+    flat_t, treedef = jax.tree_util.tree_flatten_with_path(template)
+    flat_r = jax.tree_util.tree_flatten_with_path(out)[0]
+    restored = {_norm_path(p): v for p, v in flat_r}
+    if len(restored) == len(flat_r) and all(
+        _norm_path(p) in restored for p, _ in flat_t
+    ):
+        leaves = [restored[_norm_path(p)] for p, _ in flat_t]
+    else:
+        leaves = [v for _, v in flat_r]
+        for (p, t), v in zip(flat_t, leaves):
+            ts = getattr(t, "shape", None)
+            vs = getattr(v, "shape", None)
+            if ts is not None and vs is not None and ts != vs:
+                raise ValueError(
+                    f"checkpoint at {path}: leaf {_norm_path(p)} shape "
+                    f"{vs} != template {ts} (key structure drift)")
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
 def restore(path: str, template=None) -> dict[str, Any]:
     """template: an item pytree whose structure the restore should follow
     (needed for opt_state, whose optax NamedTuple structure is lost in a
@@ -92,10 +132,7 @@ def restore(path: str, template=None) -> dict[str, Any]:
         args = jax.tree.map(lambda _: ocp.RestoreArgs(restore_type=np.ndarray), tree)
         out = ckptr.restore(path, restore_args=args)
         if template is not None:
-            flat = jax.tree_util.tree_leaves(out)
-            out = jax.tree_util.tree_unflatten(
-                jax.tree_util.tree_structure(template), flat
-            )
+            out = _reassociate(out, template, path)
     cfg_path = path + ".config.json"
     if os.path.exists(cfg_path):
         with open(cfg_path) as f:

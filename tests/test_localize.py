@@ -60,9 +60,15 @@ def test_cv_predict_constant_motion():
     poses = [np.eye(4)]
     for _ in range(3):
         poses.append(poses[-1] @ delta)
-    pred = localize.cv_predict(poses)
-    want = poses[-1] @ delta
-    np.testing.assert_allclose(pred, want, atol=1e-6)
+    # Undamped: exact extrapolation of the constant step.
+    pred = localize.cv_predict(poses, damp=1.0)
+    np.testing.assert_allclose(pred, poses[-1] @ delta, atol=1e-6)
+    # Shipping default damps the extrapolated velocity (loop-gain cap,
+    # see cv_predict docstring): poses[-1] @ exp(damp * log(delta)).
+    pred_d = localize.cv_predict(poses)
+    want_d = poses[-1] @ localize._se3_exp_np(
+        0.85 * localize._se3_log_np(delta))
+    np.testing.assert_allclose(pred_d, want_d, atol=1e-6)
 
 
 def test_se3_log_exp_roundtrip():
@@ -74,12 +80,13 @@ def test_se3_log_exp_roundtrip():
 
 
 def test_cv_predict_exact_for_constant_screw():
-    """The se(3)-log mean is exact for constant-velocity screw motion —
-    turning + translating (the regime where the old matrix-mean + SVD
-    biased toward identity)."""
+    """The (undamped) se(3)-log mean is exact for constant-velocity screw
+    motion — turning + translating (the regime where the old matrix-mean
+    + SVD biased toward identity). The shipping default damps this by
+    design; exactness is a property of the log-mean, tested at damp=1."""
     delta = localize._se3_exp_np(np.array([0.0, 0.0, 0.3, 1.0, 0.2, 0.0]))
     poses = [np.eye(4)]
     for _ in range(4):
         poses.append(poses[-1] @ delta)
-    pred = localize.cv_predict(poses)
+    pred = localize.cv_predict(poses, damp=1.0)
     np.testing.assert_allclose(pred, poses[-1] @ delta, atol=1e-9)
