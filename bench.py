@@ -30,17 +30,24 @@ def _log(msg):
     print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
 
 
-def _make_data(cfg, n_scans, extent=50.0):
+def _make_data(cfg, n_scans, extent=50.0, traj_step=None):
     """Generate (and cache) a synthetic world + scans: BLT scale at the
     default extent 50 m (~1.2M-point map); extent 110 gives the
     NCLT-parking-lot scale (~5x map, config_nclt.yaml / BASELINE.md
     config #3). Surface density is constant, so points scale with
-    area and structure count with (extent/50)^2."""
+    area and structure count with (extent/50)^2.
+
+    traj_step: scan i taken `traj_step` meters further along the loop —
+    the sensor-rate trajectory protocol (0.2 m = 2 m/s at 10 Hz), under
+    which streaming topology reuse pays real cache misses. None = scans
+    spread around the full loop (the static throughput protocol's data;
+    scan spacing then says nothing about sensor rate)."""
     from sps_tpu.data import synthetic
 
     ns = cfg.tpu.scan_points
     area = (extent / 50.0) ** 2
-    cache = f"/tmp/sps_bench_cache_{ns}_{n_scans}_{int(extent)}.npz"
+    tag = f"_t{traj_step}" if traj_step else ""
+    cache = f"/tmp/sps_bench_cache_{ns}_{n_scans}_{int(extent)}{tag}.npz"
     if os.path.exists(cache):
         z = np.load(cache)
         return z["stable"], z["scans"], z["labels"], z["valids"]
@@ -53,9 +60,13 @@ def _make_data(cfg, n_scans, extent=50.0):
     scans = np.zeros((n_scans, ns, 3), np.float32)
     labels = np.zeros((n_scans, ns), np.float32)
     valids = np.zeros((n_scans, ns), bool)
+    radius = 0.5 * extent
     for i in range(n_scans):
-        ang = 2 * np.pi * i / n_scans
-        pose_xy = (0.5 * extent) * np.array([np.cos(ang), np.sin(ang)])
+        if traj_step:
+            ang = (traj_step / radius) * i
+        else:
+            ang = 2 * np.pi * i / n_scans
+        pose_xy = radius * np.array([np.cos(ang), np.sin(ang)])
         pts, lab = synthetic.sample_scan(
             rng, stable, clutter, pose_xy, n_rays=360 * 24, max_r=30.0
         )
@@ -104,6 +115,13 @@ def main():
     ap.add_argument("--world-extent", type=float, default=50.0,
                     help="synthetic world half-extent in m (50 = BLT bench "
                     "scale; 110 = NCLT parking-lot scale)")
+    ap.add_argument("--static", action="store_true",
+                    help="legacy static protocol: ONE staged scan repeated "
+                    "(topology reuse never misses by construction). The "
+                    "default is the trajectory protocol: scan i at pose i "
+                    "along a sensor-rate path, misses counted in the JSON.")
+    ap.add_argument("--traj-step", type=float, default=0.2,
+                    help="trajectory spacing m/scan (0.2 = 2 m/s at 10 Hz)")
     args = ap.parse_args()
 
     cfg = cfg_mod.load(args.config, data_root="/tmp")
@@ -130,7 +148,10 @@ def main():
         cfg = dataclasses.replace(cfg, tpu=dataclasses.replace(cfg.tpu, **over))
     n_scans, ns = 24, cfg.tpu.scan_points
     _log("generating/loading data")
-    stable, scans, labels, valids = _make_data(cfg, n_scans, extent=args.world_extent)
+    stable, scans, labels, valids = _make_data(
+        cfg, n_scans, extent=args.world_extent,
+        traj_step=None if args.static else args.traj_step,
+    )
     poses = [np.eye(4, dtype=np.float32)] * n_scans  # already map frame
 
     _log("init model")
@@ -167,22 +188,29 @@ def main():
 
     import jax.numpy as jnp
 
-    # Stage ONE batch on device and time repeated dispatches of it: the
-    # host->device copy is ~0.2 ms over PCIe on a real TPU host but the
-    # axon tunnel moves ~0.5 MB/s AND block_until_ready does not wait for
-    # transfers, so staged uploads complete minutes later and the single
-    # allowed fetch would charge them to the timed phase (measured: 24
-    # staged batches turned a ~2 s pipelined phase into 114 s). One
-    # ~2.6 MB batch keeps the protocol deterministic; scan diversity
-    # costs <1% here (diverse-scan sync p50 spread measured ±1 ms).
-    # (A deployment ingests at sensor rate and uploads scan i+1 while
-    # scan i computes.)
-    _log("staging one scan batch on device")
-    staged0 = tuple(jax.device_put(a) for a in batch_args(0))
-    jax.block_until_ready(staged0)
+    # Stage scan batches on device BEFORE the drain fetch: the axon
+    # tunnel moves ~0.5 MB/s and block_until_ready does not wait for
+    # transfers, so uploads must be absorbed by the drain (a value fetch
+    # waits for everything queued before it), never by the timed phase
+    # (measured r2: 24 mid-phase staged batches turned a ~2 s pipelined
+    # phase into 114 s). Trajectory protocol (default): all n_scans
+    # distinct batches — scan i at pose i, so topology reuse pays its
+    # real miss pattern. --static: one batch repeated (legacy headline;
+    # zero misses by construction).
+    if args.static:
+        _log("staging one scan batch on device (--static)")
+        staged = [tuple(jax.device_put(a) for a in batch_args(0))]
+    else:
+        _log(f"staging {n_scans} trajectory batches on device "
+             f"(~{2.6 * n_scans:.0f} MB through the tunnel; drained below)")
+        staged = [
+            tuple(jax.device_put(a) for a in batch_args(i))
+            for i in range(n_scans)
+        ]
+    jax.block_until_ready(staged)
 
     def staged_args(i):
-        return staged0
+        return staged[i % len(staged)]
 
     # HEADLINE: pipelined throughput — the deployment semantics (a real
     # TPU host dispatches asynchronously; the sensor queues scans and
@@ -201,17 +229,22 @@ def main():
     _ = int(jnp.sum(k0))  # staged batch confirmed resident
 
     tput = None
+    miss_stats = []  # device arrays; fetched AFTER all timing completes
     if not args.no_tput:
         n_disp = 4 * n_scans  # ~8 s of device work at the current rate
         for r in range(args.rounds):
             _log(f"throughput round {r} (async, {n_disp} dispatches x {nb})")
+            round_stats = []
             t0 = time.perf_counter()
             for i in range(n_disp):
                 scores, keep, stats = filt(*staged_args(i))
+                round_stats.append(stats.get("topo_miss_points"))
             _ = int(jnp.sum(keep))  # waits for ALL queued executions
             tput_wall = time.perf_counter() - t0
             t = n_disp * nb / tput_wall
-            tput = t if tput is None else max(tput, t)
+            if tput is None or t > tput:
+                tput = t
+                miss_stats = round_stats
             _log(f"  {t:.2f} scans/s ({tput_wall:.2f}s)")
 
     _log(f"timing (sync mode, batch={nb})")
@@ -226,6 +259,14 @@ def main():
     p50 = float(np.percentile(lat, 50))
 
     mean_pts = float(np.mean([v.sum() for v in valids]))
+    # Topology-reuse honesty: total miss points / total points dispatched
+    # in the best throughput round (trajectory protocol; --static is 0 by
+    # construction). Misses score 0.5 until the next rebuild — the
+    # accuracy cost of the reuse policy at this trajectory speed.
+    topo_miss_frac = None
+    if miss_stats and miss_stats[0] is not None:
+        total_miss = float(np.sum([int(m) for m in miss_stats]))
+        topo_miss_frac = total_miss / max(len(miss_stats) * nb * mean_pts, 1.0)
     sync_sps = nb / p50
     sps = tput if tput is not None else sync_sps
     result = {
@@ -250,7 +291,12 @@ def main():
         "map_points": int(len(stable)),
         "config": os.path.basename(args.config),
         "device": str(jax.devices()[0]),
+        "protocol": "static" if args.static else "trajectory",
+        "traj_step_m": None if args.static else args.traj_step,
+        "topo_every": int(getattr(cfg.tpu, "topo_every", 0)),
     }
+    if topo_miss_frac is not None:
+        result["topo_miss_frac"] = round(topo_miss_frac, 5)
     if tput is not None:
         result["pipelined_scans_per_sec"] = round(tput, 2)
     print(json.dumps(result))

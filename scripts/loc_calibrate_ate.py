@@ -77,12 +77,18 @@ def log(m):
               "calibrated epsilon from over-pruning unchanged worlds)")
 @click.option("--runs", type=int, default=2)
 @click.option("--init-noise", type=float, default=0.05,
-              help="translation noise (m) on the externally-seeded scans; "
+              help="translation noise (m) on the odometry prior (every "
+              "scan under --prior odom; the seeded scans under cv); "
               "differentiates runs of the otherwise deterministic loop")
-@click.option("--filters", default="sps,mask,raw,mos4d,mapmos,lts")
+@click.option("--prior", type=click.Choice(["odom", "cv"]), default="odom",
+              help="pose prior for BOTH the sweep and the table — must "
+              "match the campaign protocol (round-4 finding: the "
+              "cv-calibrated epsilon window did not transfer to the odom "
+              "campaign)")
+@click.option("--filters", default="sps,mask,raw,mos4d,mapmos,lts,oracle")
 @click.option("--out", default="./exp_results")
 def main(config, data, weights, baselines, grid, val_seqs, runs, init_noise,
-         filters, out):
+         prior, filters, out):
     from sps_tpu import config as cfg_mod
     from sps_tpu.stream import localize as loc
     from sps_tpu.utils import checkpoint as ckpt
@@ -107,6 +113,7 @@ def main(config, data, weights, baselines, grid, val_seqs, runs, init_noise,
         for vs in vseqs:
             r = loc.run_localization(
                 cfg, variables, vs, "sps", seed=0, epsilon=eps,
+                prior=prior, init_noise=init_noise,
                 refine=True, cache=cache, log=lambda s: None,
             )
             ates.append(r["ate_rmse"])
@@ -134,6 +141,15 @@ def main(config, data, weights, baselines, grid, val_seqs, runs, init_noise,
     cal["ate_sweep"] = sweep
     cal["epsilon_ate"] = eps_ate
     cal["epsilon_robustness"] = epsilon_robustness(sweep, eps_ate)
+    # Protocol tag (round-4 weak #2: a calibration without its protocol
+    # cannot be checked against the campaign that consumes it).
+    cal["protocol"] = {
+        "prior": prior,
+        "init_noise": init_noise,
+        "refine": True,
+        "objective": f"mean ATE over {vseqs}",
+        "weights": os.path.abspath(weights),
+    }
     with open(calpath, "w") as f:
         json.dump(cal, f)
     sidecar = os.path.abspath(weights) + ".config.json"
@@ -161,8 +177,9 @@ def main(config, data, weights, baselines, grid, val_seqs, runs, init_noise,
                     try:
                         r = loc.run_localization(
                             cfg, variables, seq, flt, seed=run,
-                            init_noise=init_noise if run else 0.0,
+                            prior=prior, init_noise=init_noise,
                             baseline_weights=os.path.abspath(baselines),
+                            epsilon=eps_ate if flt == "sps" else None,
                             refine=True, cache=cache, log=lambda s: None,
                         )
                     except Exception:
@@ -170,8 +187,6 @@ def main(config, data, weights, baselines, grid, val_seqs, runs, init_noise,
                         log(f"run {run} {seq} {flt} FAILED")
                         continue
                     r.update(run=run, seq=seq, filter=flt,
-                             init_noise=init_noise if run else 0.0,
-                             epsilon=eps_ate if flt == "sps" else None,
                              wall_s=round(time.time() - t0, 1))
                     results.append(r)
                     f.write(json.dumps(r) + "\n")

@@ -114,7 +114,13 @@ def main(config, weights, sequences, filters, runs, data, init_noise,
                     )
                     r["prior"] = prior
                     r["filter"] = flt
-                    r.update(run=run, seq=seq, wall_s=round(time.time() - t0, 1))
+                    r.update(
+                        run=run, seq=seq, wall_s=round(time.time() - t0, 1),
+                        weights=os.path.abspath(weights) if weights else "random-init",
+                        baseline_weights=(os.path.abspath(baseline_weights)
+                                          if baseline_weights else "random-init"),
+                        config=os.path.abspath(config),
+                    )
                     results.append(r)
                     f.write(json.dumps(r) + "\n")
                     f.flush()
@@ -129,26 +135,38 @@ def main(config, weights, sequences, filters, runs, data, init_noise,
     # (e.g. odom primary + cv secondary) summarize together.
     with open(path) as f:
         allrows = [json.loads(ln) for ln in f if ln.strip()]
+    # Protocol header: the knobs shared by (or varying across) the rows,
+    # so the table is interpretable without the jsonl (VERDICT r4 #6).
+    def _vals(key, default=None):
+        vs = sorted({str(r.get(key, default)) for r in allrows})
+        return vs[0] if len(vs) == 1 else "{" + ",".join(vs) + "}"
+
     lines = [
-        "| prior | sequence | filter | ATE-RMSE mean±std (m) | min..max | runs | kept |",
-        "|---|---|---|---|---|---|---|",
+        f"Protocol: init_noise={_vals('init_noise', 0.0)} "
+        f"refine={_vals('refine', True)} icp_iters={_vals('icp_iters', 12)} "
+        f"weights={_vals('weights', 'random-init')} "
+        f"baseline_weights={_vals('baseline_weights', 'random-init')}",
+        "",
+        "| prior | refine | sequence | filter | ATE-RMSE mean±std (m) | min..max | runs | kept |",
+        "|---|---|---|---|---|---|---|---|",
     ]
     keys = []
     for r in allrows:
-        k = (r.get("prior", "cv"), r["seq"], r["filter"])
+        k = (r.get("prior", "cv"), r.get("refine", True), r["seq"], r["filter"])
         if k not in keys:
             keys.append(k)
-    for pr, seq, flt in keys:
+    for pr, rf, seq, flt in keys:
         rs = [
             r for r in allrows
             if r["seq"] == seq and r["filter"] == flt
-            and r.get("prior", "cv") == pr
+            and r.get("prior", "cv") == pr and r.get("refine", True) == rf
         ]
         a = np.asarray([r["ate_rmse"] for r in rs], np.float64)
         kept = float(np.mean([r["kept_frac_mean"] for r in rs]))
         std = a.std(ddof=1) if len(a) > 1 else 0.0
         lines.append(
-            f"| {pr} | {seq} | {flt} | {a.mean():.3f} ± {std:.3f} "
+            f"| {pr} | {'y' if rf else 'n'} | {seq} | {flt} "
+            f"| {a.mean():.3f} ± {std:.3f} "
             f"| {a.min():.3f}..{a.max():.3f} | {len(a)} | {kept:.2f} |"
         )
     with open(os.path.join(out, "summary.md"), "w") as f:

@@ -39,6 +39,16 @@ class TrainConfig:
     weight_decay: float = 1e-4
     batch_size: int = 2
     augmentation: bool = True
+    # Loss weight on STABLE (label < 0.5) scan points. The reference's
+    # MSE weights classes equally (models.py:67-68); > 1 penalizes
+    # false-unstable scores harder — the error mode that makes the filter
+    # over-cut registration-supporting structure (precision lever).
+    stable_weight: float = 1.0
+    # "mse" = the reference objective (models.py:44, continuous stability
+    # labels); "bce" = binary cross-entropy on the sigmoid scores — the
+    # natural objective when labels are binary (the in-repo baselines
+    # train with BCE; TRAIN.LOSS makes the comparison apples-to-apples).
+    loss: str = "mse"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -93,6 +103,11 @@ class Config:
     voxel_size: float = 0.1
     threshold: float = 0.84
     tpu: TPUConfig = TPUConfig()
+    # MODEL.DIST_FEATURE: second input channel = per-point distance to
+    # the nearest map voxel centroid (register.point_map_distance),
+    # clipped at dist_cap meters. Off = reference-parity inputs.
+    dist_feature: bool = False
+    dist_cap: float = 1.0
 
     @property
     def point_capacity(self) -> int:
@@ -124,7 +139,7 @@ class Config:
             threshold=self.threshold,
             caps=caps,
             unet=MinkUNetConfig(
-                in_channels=1,
+                in_channels=2 if self.dist_feature else 1,
                 out_channels=1,
                 num_time=2,
                 dtype=jnp.bfloat16 if self.tpu.bf16 else jnp.float32,
@@ -138,6 +153,8 @@ class Config:
             brick_side=self.tpu.brick_side,
             atlas_extent=(bs,) + tuple(self.tpu.atlas_extent),
             row_from=self.tpu.row_from if self.tpu.row_from > 0 else None,
+            dist_feature=self.dist_feature,
+            dist_cap=self.dist_cap,
         )
 
 
@@ -167,9 +184,13 @@ def load(path: str, data_root: str | None = None) -> Config:
             weight_decay=float(tr.get("WEIGHT_DECAY", 1e-4)),
             batch_size=int(tr.get("BATCH_SIZE", 2)),
             augmentation=bool(tr.get("AUGMENTATION", True)),
+            stable_weight=float(tr.get("STABLE_WEIGHT", 1.0)),
+            loss=str(tr.get("LOSS", "mse")).lower(),
         ),
         voxel_size=float(y.get("MODEL", {}).get("VOXEL_SIZE", 0.1)),
         threshold=float(y.get("FILTER", {}).get("THRESHOLD", 0.84)),
+        dist_feature=bool(y.get("MODEL", {}).get("DIST_FEATURE", False)),
+        dist_cap=float(y.get("MODEL", {}).get("DIST_CAP", 1.0)),
         tpu=TPUConfig(
             scan_points=int(tpu.get("SCAN_POINTS", TPUConfig.scan_points)),
             submap_points=int(tpu.get("SUBMAP_POINTS", TPUConfig.submap_points)),

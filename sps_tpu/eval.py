@@ -23,10 +23,11 @@ from sps_tpu.utils.metrics import classification_metrics, masked_mse, masked_r2
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def predict_step(variables, batch, map_points, *, cfg: Config):
+def predict_step(variables, batch, map_points, map_vm=None, *, cfg: Config):
     """Forward one scan (batch size 1) -> scores + metrics."""
     pb, aux = pipeline.assemble_batch(
-        batch["xyz"], batch["label"], batch["valid"], map_points, cfg, None
+        batch["xyz"], batch["label"], batch["valid"], map_points, cfg, None,
+        map_vm=map_vm,
     )
     model = SPSModel(cfg.sps_config(batch_size=1))
     scores, maux = model.apply(variables, pb, train=False)
@@ -55,10 +56,19 @@ def predict_sequence(
     cfg_b1 = cfg
     data = BLTDataModule(cfg_b1, test=True)
     map_points = jnp.asarray(data.map_points)
+    map_vm = None
+    if cfg.dist_feature:
+        from sps_tpu import register as reg
+
+        map_vm = reg.build_voxel_map(
+            np.asarray(data.map_points), voxel_size=4 * cfg.voxel_size
+        )
     acc: dict[str, list[float]] = {}
     for batch in data.batches(data.test, 1, shuffle=False):
         hb = {k: jnp.asarray(v) for k, v in batch.items() if k != "indices"}
-        scores, scan_mask, m = predict_step(variables, hb, map_points, cfg=cfg_b1)
+        scores, scan_mask, m = predict_step(
+            variables, hb, map_points, map_vm, cfg=cfg_b1
+        )
         for k, v in m.items():
             if k == "overflow":
                 if bool(v):

@@ -19,6 +19,7 @@ import dataclasses
 
 import flax.linen as nn
 import jax.numpy as jnp
+import numpy as np
 
 from sps_tpu.models.minkunet import MinkUNet, MinkUNetConfig
 from sps_tpu.ops import atlas as atl
@@ -53,6 +54,14 @@ class SPSConfig:
     # bricks; rows avoid phantom-slot FLOPs). None = all-brick. Row
     # capacities come from caps.voxels.
     row_from: int | None = None
+    # Second input channel: per-point distance-to-map (register.
+    # point_map_distance), scatter-min'd to voxel slots and normalized by
+    # dist_cap. OFF by default (reference parity: the reference feeds the
+    # constant 0.5 only, models.py:22). When on, unet.in_channels must be
+    # 2 and callers must supply the per-point distances (PointBatch.dist
+    # offline, the map LUT gather in stream/engine.py online).
+    dist_feature: bool = False
+    dist_cap: float = 1.0
 
 
 def build_levels_from_grid(grid, cfg: SPSConfig):
@@ -151,6 +160,7 @@ class SPSModel(nn.Module):
         p2v=None,
         t_idx=None,
         valid=None,
+        point_dist=None,
     ):
         """Returns (scores, aux): (N,) per-point sigmoid stability scores
         (0 for padded points) and a dict with overflow flags.
@@ -170,6 +180,8 @@ class SPSModel(nn.Module):
         if grid is None and levels is None:
             levels, p2v, overflow = build_pyramid(pb, cfg)
             t_idx, valid = pb.t, pb.valid
+            if point_dist is None:
+                point_dist = pb.dist
         elif levels is None:
             levels, overflow = build_levels_from_grid(grid, cfg)
         else:
@@ -189,9 +201,38 @@ class SPSModel(nn.Module):
             overflow = jnp.stack([lv.grid.overflow for lv in levels])
         # Constant 0.5 input feature on occupied slots (models.py:22).
         occ0 = levels[0].grid.occ
-        feats0 = (0.5 * jnp.repeat(occ0, cfg.unet.in_channels, axis=-1)).astype(
-            cfg.unet.dtype
-        )
+        if cfg.dist_feature:
+            assert cfg.unet.in_channels == 2, "dist_feature needs in_channels=2"
+            assert cfg.unet.sp_axis is None, (
+                "dist_feature under spatial sharding needs a sliced "
+                "scatter; not implemented"
+            )
+            # Scatter-min the per-point distances into (slot, t) cells of
+            # the L0 layout (empty cells stay at cap; occ masks them to 0
+            # below). Index matches devoxelize_flat: slot*T + t.
+            st = int(np.prod(occ0.shape[:-1])) * t
+            if point_dist is None:
+                point_dist = jnp.zeros_like(t_idx, jnp.float32)
+            idx = jnp.where(
+                (p2v >= 0) & valid,
+                jnp.clip(p2v, 0) * t + jnp.clip(t_idx, 0, t - 1),
+                st,
+            )
+            dvox = (
+                jnp.full((st + 1,), cfg.dist_cap, jnp.float32)
+                .at[idx]
+                .min(point_dist.astype(jnp.float32))
+            )[:st].reshape(occ0.shape)
+            d01 = (dvox / cfg.dist_cap) * occ0
+            feats0 = (
+                jnp.stack([0.5 * occ0, d01], axis=-1)
+                .reshape(occ0.shape[:-1] + (t * 2,))
+                .astype(cfg.unet.dtype)
+            )
+        else:
+            feats0 = (0.5 * jnp.repeat(occ0, cfg.unet.in_channels, axis=-1)).astype(
+                cfg.unet.dtype
+            )
         out = MinkUNet(cfg.unet, name="MinkUNet")(feats0, levels, train)
         if cfg.unet.sp_axis is not None:
             import jax

@@ -29,6 +29,7 @@ def assemble_batch(
     map_points: jnp.ndarray,  # (M, 3) resident
     cfg: Config,
     rng: jax.Array | None = None,
+    map_vm=None,  # register.VoxelMap: per-point distance feature source
 ) -> tuple[PointBatch, dict]:
     """Returns (PointBatch of capacity B*(Ns+Sub), aux counters)."""
     bsz, ns, _ = scan_xyz.shape
@@ -59,6 +60,19 @@ def assemble_batch(
     sub_xyz, sub_valid, sub_overflow, dropped = jax.vmap(one)(scan_xyz, scan_valid)
 
     xyz = jnp.concatenate([scan_xyz, sub_xyz], axis=1)  # (B, Ns+Sub, 3)
+    dist = None
+    if map_vm is not None:
+        # Distance-to-map feature, computed BEFORE augmentation (the
+        # joint rotation/scale below leaves the map frame, but the
+        # feature is the physical map-support distance of the original
+        # geometry — invariant data, like the label). Submap points are
+        # map points, so theirs is ~0 by construction.
+        from sps_tpu import register as reg
+
+        valid_all = jnp.concatenate([scan_valid, sub_valid], axis=1)
+        dist = jax.vmap(
+            lambda p, v: reg.point_map_distance(map_vm, p, v)
+        )(xyz, valid_all)
     if rng is not None:
         mats = jax.vmap(aug.augmentation_matrix)(jax.random.split(rng, bsz))
         xyz = jnp.einsum("bnc,bcd->bnd", xyz, mats)
@@ -83,6 +97,7 @@ def assemble_batch(
         t=t.reshape(-1),
         label=label.reshape(-1),
         valid=valid.reshape(-1),
+        dist=dist.reshape(-1) if dist is not None else None,
     )
     aux = {
         "submap_overflow": jnp.sum(sub_overflow),

@@ -272,6 +272,28 @@ def _correspond(vmap: VoxelMap, p: jnp.ndarray, valid: jnp.ndarray):
     return vmap.centroids[safe_r], vmap.normals[safe_r], hit
 
 
+def point_map_distance(
+    vmap: VoxelMap, p: jnp.ndarray, valid: jnp.ndarray, cap: float = 1.0
+) -> jnp.ndarray:
+    """Per-point distance to the nearest map-voxel centroid, clipped to
+    `cap` (points with no correspondence within the 27-cell search — or
+    outside the LUT window — return `cap`). One LUT gather per point.
+
+    This is the separating variable of the SPS stability task at
+    sub-voxel precision: "growth"-type change sits a fraction of a meter
+    outside mapped structure — too far for the voxel-exact overlap bit
+    (the reference's prune, util.py:85-114) to mark as supported, but
+    close enough that the UNet's coarse levels smear it into the mapped
+    surface. Fed as an optional second input channel
+    (SPSConfig.dist_feature), it makes map support an explicit
+    sub-voxel-resolution input instead of a learned long-range
+    inference. Invalid points return 0."""
+    cc, _, hit = _correspond(vmap, p, valid)
+    d = jnp.linalg.norm(cc - p, axis=-1)
+    d = jnp.where(hit, jnp.minimum(d, cap), cap)
+    return jnp.where(valid, d, 0.0).astype(jnp.float32)
+
+
 def yaw_search(
     vmap: VoxelMap,
     scan: jnp.ndarray,

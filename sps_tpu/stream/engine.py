@@ -33,6 +33,16 @@ from sps_tpu.utils import metrics as met
 from sps_tpu.utils.geometry import transform_points
 
 
+def _point_dist(map_vm, xyz, valid, scfg):
+    """Per-point distance-to-map feature (None when the feature is off);
+    xyz already in the map frame."""
+    if map_vm is None:
+        return None
+    from sps_tpu import register as reg
+
+    return reg.point_map_distance(map_vm, xyz, valid, cap=scfg.dist_cap)
+
+
 def build_map_table(map_points: np.ndarray, voxel_size: float, capacity: int | None = None):
     """Voxelize the map once; returns its HashTable (resident in HBM).
 
@@ -186,6 +196,19 @@ class StreamingFilter:
             )
         self.model = SPSModel(self.sps_cfg)
         self.variables = variables
+        # Distance-to-map input feature (SPSConfig.dist_feature): one
+        # registration-style LUT gather per point, map frame.
+        self.map_vm = None
+        if self.sps_cfg.dist_feature:
+            if mesh is not None:
+                raise ValueError(
+                    "dist_feature under spatial sharding is not implemented"
+                )
+            from sps_tpu import register as reg
+
+            self.map_vm = reg.build_voxel_map(
+                np.asarray(map_points), voxel_size=4 * cfg.voxel_size
+            )
         # Topology-reuse policy (atlas engine, single device): dispatch
         # the cheap cached-topology program (see _make_atlas_reuse_fn) and
         # rebuild the pyramid every `topo_every` scans. 0 disables. The
@@ -255,7 +278,8 @@ class StreamingFilter:
         scfg = self.sps_cfg
         bcap = scfg.caps.bricks[0]
 
-        def fn(variables, map_grid, scan_xyz, valid, labels, poses, eps):
+        def fn(variables, map_grid, scan_xyz, valid, labels, poses, eps,
+               map_vm=None):
             # scan_xyz (NB, n, 3); poses (NB, 4, 4); valid/labels (NB, n).
             nb, n = scan_xyz.shape[:2]
             xyz = (
@@ -263,6 +287,7 @@ class StreamingFilter:
                 + poses[:, None, :3, 3]
             )
             vflat = valid.reshape(nb * n)
+            pdist = _point_dist(map_vm, xyz.reshape(nb * n, 3), vflat, scfg)
             coords = vox.quantize(xyz.reshape(nb * n, 3), vsize)
             batch_idx = jnp.repeat(jnp.arange(nb, dtype=jnp.int32), n)
             grid, p2s = atl.voxelize_bricks(
@@ -291,6 +316,7 @@ class StreamingFilter:
                 p2v=p2s,
                 t_idx=jnp.ones((nb * n,), jnp.int32),
                 valid=vflat,
+                point_dist=pdist,
             )
             keep = (scores <= eps) & vflat  # sps_node.py:148
             stats = {
@@ -333,13 +359,15 @@ class StreamingFilter:
         shift = bs.bit_length() - 1
         bvol = bs**3
 
-        def fn(variables, levels, mocc, scan_xyz, valid, labels, poses, eps):
+        def fn(variables, levels, mocc, scan_xyz, valid, labels, poses, eps,
+               map_vm=None):
             nb, n = scan_xyz.shape[:2]
             xyz = (
                 jnp.einsum("bij,bnj->bni", poses[:, :3, :3], scan_xyz)
                 + poses[:, None, :3, 3]
             )
             vflat = valid.reshape(nb * n)
+            pdist = _point_dist(map_vm, xyz.reshape(nb * n, 3), vflat, scfg)
             coords = vox.quantize(xyz.reshape(nb * n, 3), vsize)
             batch_idx = jnp.repeat(jnp.arange(nb, dtype=jnp.int32), n)
             l0 = levels[0].grid
@@ -366,6 +394,7 @@ class StreamingFilter:
                 p2v=point2slot,
                 t_idx=jnp.ones((nb * n,), jnp.int32),
                 valid=vflat,
+                point_dist=pdist,
             )
             keep = (scores <= eps) & vflat
             stats = {
@@ -390,8 +419,10 @@ class StreamingFilter:
         vsize = cfg.voxel_size
         bcap = self.sps_cfg.caps.bricks[0]
 
-        def fn(variables, map_grid, scan_xyz, valid, labels, pose, eps):
+        def fn(variables, map_grid, scan_xyz, valid, labels, pose, eps,
+               map_vm=None):
             xyz = transform_points(scan_xyz, pose)
+            pdist = _point_dist(map_vm, xyz, valid, self.sps_cfg)
             coords = vox.quantize(xyz, vsize)
             n = scan_xyz.shape[0]
             grid, p2s = bk.voxelize_bricks(
@@ -417,6 +448,7 @@ class StreamingFilter:
                 p2v=p2s,
                 t_idx=jnp.ones((n,), jnp.int32),
                 valid=valid,
+                point_dist=pdist,
             )
             keep = (scores <= eps) & valid  # sps_node.py:148
             stats = {
@@ -438,8 +470,10 @@ class StreamingFilter:
         vsize = cfg.voxel_size
         vcap = self.sps_cfg.caps.voxels[0]
 
-        def fn(variables, map_table, scan_xyz, valid, labels, pose, eps):
+        def fn(variables, map_table, scan_xyz, valid, labels, pose, eps,
+               map_vm=None):
             xyz = transform_points(scan_xyz, pose)
+            pdist = _point_dist(map_vm, xyz, valid, self.sps_cfg)
             coords = vox.quantize(xyz, vsize)
             n = scan_xyz.shape[0]
             grid, p2v, _ = vox.voxelize(
@@ -462,6 +496,7 @@ class StreamingFilter:
                 p2v=p2v,
                 t_idx=jnp.ones((n,), jnp.int32),
                 valid=valid,
+                point_dist=pdist,
             )
             keep = (scores <= eps) & valid  # sps_node.py:148
             stats = {
@@ -501,6 +536,10 @@ class StreamingFilter:
             # program (the epsilon sweep would otherwise recompile per value).
             eps,
         )
+        # map_vm only when the feature is on: the shard_map path's
+        # in_specs are positional-only, and jit treats each call
+        # signature independently.
+        kw = {} if self.map_vm is None else {"map_vm": self.map_vm}
         if self.topo_every > 0:
             reuse = (
                 self._topo_cache is not None
@@ -509,11 +548,11 @@ class StreamingFilter:
             self._dispatch_i += 1
             if reuse:
                 scores, keep, stats = self._reuse_fn(
-                    self.variables, *self._topo_cache, *args
+                    self.variables, *self._topo_cache, *args, **kw
                 )
             else:
                 scores, keep, stats, cache = self._fn(
-                    self.variables, self.map_grid, *args
+                    self.variables, self.map_grid, *args, **kw
                 )
                 self._topo_cache = cache
         else:
@@ -523,6 +562,7 @@ class StreamingFilter:
                 if self.cfg.tpu.engine in ("atlas", "brick")
                 else self.map_table,
                 *args,
+                **kw,
             )
         if squeeze:
             scores, keep = scores[0], keep[0]

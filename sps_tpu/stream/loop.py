@@ -146,15 +146,17 @@ class LocalizationLoop:
                  prior, use_prior):
             guess = jnp.where(use_prior, prior, _cv_guess(state))
 
+            kw = {} if filt.map_vm is None else {"map_vm": filt.map_vm}
+
             def filt_at(pose, cache):
                 a = (scan[None], valid[None], labels[None], pose[None], eps)
                 if cache is not None:
-                    s, k, st = filt._reuse_fn(variables, *cache, *a)
+                    s, k, st = filt._reuse_fn(variables, *cache, *a, **kw)
                     return s[0], k[0], st, cache
                 if topo:
-                    s, k, st, c = filt._fn(variables, map_or_cache, *a)
+                    s, k, st, c = filt._fn(variables, map_or_cache, *a, **kw)
                     return s[0], k[0], st, c
-                s, k, st = filt._fn(variables, map_or_cache, *a)
+                s, k, st = filt._fn(variables, map_or_cache, *a, **kw)
                 return s[0], k[0], st, None
 
             cache0 = map_or_cache if reuse else None

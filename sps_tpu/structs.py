@@ -24,6 +24,10 @@ class PointBatch(NamedTuple):
     t: jnp.ndarray  # (N,) int32 — time slot (SPS: scan=1, map=0)
     label: jnp.ndarray  # (N,) float32 — stability label in [0, 1]
     valid: jnp.ndarray  # (N,) bool
+    # Optional per-point distance-to-map feature (SPSConfig.dist_feature),
+    # computed BEFORE augmentation so it stays consistent under the joint
+    # scan+submap rotation/scale. None when the feature is off.
+    dist: jnp.ndarray | None = None  # (N,) float32
 
     @property
     def capacity(self) -> int:

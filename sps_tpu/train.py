@@ -76,6 +76,7 @@ def grad_step(
     batch,
     map_points,
     rng,
+    map_vm=None,
     *,
     cfg: Config,
     augment: bool,
@@ -97,6 +98,7 @@ def grad_step(
         map_points,
         cfg,
         rng if augment else None,
+        map_vm=map_vm,
     )
     apply_fn = state.apply_fn
     if sp_axis is not None:
@@ -115,7 +117,25 @@ def grad_step(
             mutable=["batch_stats"],
         )
         scan_mask = pb.valid & (pb.t == pipeline.SCAN_T)
-        loss = masked_mse(scores, pb.label, scan_mask)
+        if cfg.train.stable_weight != 1.0 or cfg.train.loss == "bce":
+            # Weighted per-point loss: stable scan points (label < 0.5)
+            # weigh `stable_weight` — penalizing false-unstable scores,
+            # the error mode that over-cuts registration structure.
+            # LOSS=bce swaps the squared error for binary cross-entropy
+            # on the sigmoid scores (natural for binary labels; the
+            # in-repo baselines train with BCE). stable_weight=1 +
+            # LOSS=mse is exactly the reference loss (models.py:67-68).
+            w = scan_mask.astype(scores.dtype) * jnp.where(
+                pb.label < 0.5, cfg.train.stable_weight, 1.0
+            )
+            if cfg.train.loss == "bce":
+                s = jnp.clip(scores, 1e-6, 1.0 - 1e-6)
+                per = -(pb.label * jnp.log(s) + (1.0 - pb.label) * jnp.log(1.0 - s))
+            else:
+                per = (scores - pb.label) ** 2
+            loss = jnp.sum(w * per) / jnp.maximum(jnp.sum(w), 1.0)
+        else:
+            loss = masked_mse(scores, pb.label, scan_mask)
         return loss, (mut, scores, scan_mask, maux)
 
     (loss, (mut, scores, scan_mask, maux)), grads = jax.value_and_grad(
@@ -144,14 +164,17 @@ def grad_step(
 
 
 @partial(jax.jit, static_argnames=("cfg", "augment"), donate_argnums=(0,))
-def train_step(state: TrainState, batch, map_points, rng, *, cfg: Config, augment: bool):
-    return grad_step(state, batch, map_points, rng, cfg=cfg, augment=augment)
+def train_step(state: TrainState, batch, map_points, rng, map_vm=None, *,
+               cfg: Config, augment: bool):
+    return grad_step(state, batch, map_points, rng, map_vm,
+                     cfg=cfg, augment=augment)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def eval_step(state: TrainState, batch, map_points, *, cfg: Config):
+def eval_step(state: TrainState, batch, map_points, map_vm=None, *, cfg: Config):
     pb, _ = pipeline.assemble_batch(
-        batch["xyz"], batch["label"], batch["valid"], map_points, cfg, None
+        batch["xyz"], batch["label"], batch["valid"], map_points, cfg, None,
+        map_vm=map_vm,
     )
     scores, _ = state.apply_fn(
         {"params": state.params, "batch_stats": state.batch_stats}, pb, train=False
@@ -200,6 +223,20 @@ def fit(cfg: Config, log_dir: str = "./tb_logs", ckpt_dir: str = "./checkpoints"
     """
     data = BLTDataModule(cfg)
     map_points = jnp.asarray(data.map_points)
+    map_vm = None
+    if cfg.dist_feature:
+        if devices > 1:
+            raise ValueError(
+                "dist_feature under dp training is not plumbed yet; "
+                "train single-device or turn MODEL.DIST_FEATURE off"
+            )
+        from sps_tpu import register as reg
+
+        # 4x voxel cells (0.4 m at the reference voxel size): the 27-cell
+        # LUT search then resolves distances well past dist_cap.
+        map_vm = reg.build_voxel_map(
+            np.asarray(data.map_points), voxel_size=4 * cfg.voxel_size
+        )
     steps_per_epoch = max(1, len(data.train) // cfg.train.batch_size)
     rng = jax.random.PRNGKey(seed)
     state = create_state(cfg, rng, steps_per_epoch)
@@ -345,7 +382,8 @@ def fit(cfg: Config, log_dir: str = "./tb_logs", ckpt_dir: str = "./checkpoints"
                 state, m = dp_step(state, hb, map_points, jax.random.split(sk, devices))
             else:
                 state, m = train_step(
-                    state, hb, map_points, sk, cfg=cfg, augment=cfg.train.augmentation
+                    state, hb, map_points, sk, map_vm,
+                    cfg=cfg, augment=cfg.train.augmentation,
                 )
             step += 1
             if step % 10 == 1 or max_steps:
@@ -368,17 +406,17 @@ def fit(cfg: Config, log_dir: str = "./tb_logs", ckpt_dir: str = "./checkpoints"
             for i in range(0, n - bsz + 1, bsz):  # drop ragged tail
                 sel = jnp.arange(i, i + bsz)
                 hb = {k: v[sel] for k, v in val_dev.items()}
-                vals.append(eval_step(state, hb, map_points, cfg=cfg))
+                vals.append(eval_step(state, hb, map_points, map_vm, cfg=cfg))
             if not vals:  # split smaller than one batch: pad
                 hb = {
                     k: jnp.concatenate([v, jnp.zeros_like(v)] * bsz, 0)[:bsz]
                     for k, v in val_dev.items()
                 }
-                vals.append(eval_step(state, hb, map_points, cfg=cfg))
+                vals.append(eval_step(state, hb, map_points, map_vm, cfg=cfg))
         else:
             for batch in data.batches(data.val, cfg.train.batch_size, False):
                 hb = {k: jnp.asarray(v) for k, v in batch.items() if k != "indices"}
-                vals.append(eval_step(state, hb, map_points, cfg=cfg))
+                vals.append(eval_step(state, hb, map_points, map_vm, cfg=cfg))
         vloss = float(jnp.mean(jnp.stack([v["loss"] for v in vals])))
         vr2 = float(jnp.mean(jnp.stack([v["r2"] for v in vals])))
         logger.log(step, epoch=epoch, val_loss=vloss, val_r2=vr2)

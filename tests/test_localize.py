@@ -52,6 +52,31 @@ def test_localization_ate(setup, mode):
     assert out["n_scans"] == 4
     if mode == "sps":
         assert 0 < out["kept_frac_mean"] <= 1.0
+    # Rows are self-describing (campaign reproducibility).
+    for k in ("prior", "epsilon", "init_noise", "refine", "icp_iters", "seed"):
+        assert k in out, k
+
+
+def test_localization_oracle_and_cv_raw_first(setup):
+    cfg, variables = setup
+    # Oracle: ground-truth labels, pose-free; must register fine and
+    # keep exactly the stable fraction.
+    out = localize.run_localization(
+        cfg, variables, "20220629", filter_mode="oracle",
+        icp_iters=15, init_noise=0.15, prior="odom",
+        log=lambda *a, **k: None,
+    )
+    assert out["ate_rmse"] < 0.25, out
+    assert 0 < out["kept_frac_mean"] < 1.0
+    # cv prior on a pose-consuming filter takes the raw-first two-pass
+    # path; with only 4 scans the cv window is small but the path runs.
+    out2 = localize.run_localization(
+        cfg, variables, "20220629", filter_mode="sps",
+        icp_iters=15, init_noise=0.0, prior="cv",
+        log=lambda *a, **k: None,
+    )
+    assert out2["cv_raw_first"] is True
+    assert out2["ate_rmse"] < 0.5, out2
 
 
 def test_cv_predict_constant_motion():
