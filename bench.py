@@ -99,6 +99,8 @@ def main():
     ap.add_argument("--no-int8", dest="int8", action="store_false")
     ap.add_argument("--stem-zband", action="store_true", default=None,
                     help="fold only the k=5 stem into the zband layout")
+    ap.add_argument("--head-fold", action="store_true", default=None,
+                    help="run the 1x1 head on the z-folded layout")
     ap.add_argument("--topo-every", type=int, default=None,
                     help="rebuild streaming topology every N scans, reuse "
                     "the cached pyramid in between (TPU.TOPO_EVERY)")
@@ -144,6 +146,8 @@ def main():
         over["topo_every"] = args.topo_every
     if args.stem_zband is not None:
         over["stem_zband"] = args.stem_zband
+    if args.head_fold is not None:
+        over["head_fold"] = args.head_fold
     if over:
         cfg = dataclasses.replace(cfg, tpu=dataclasses.replace(cfg.tpu, **over))
     n_scans, ns = 24, cfg.tpu.scan_points

@@ -38,6 +38,11 @@ def main():
                     "loop — stream/localize.py docstring)")
     ap.add_argument("--rounds", type=int, default=3)
     ap.add_argument("--dispatches", type=int, default=48)
+    ap.add_argument("--static", action="store_true",
+                    help="legacy one-staged-scan protocol (zero topology "
+                    "misses by construction); default stages a sensor-rate "
+                    "trajectory (scan i at pose i, 0.2 m apart)")
+    ap.add_argument("--traj-step", type=float, default=0.2)
     args = ap.parse_args()
 
     import jax
@@ -51,7 +56,9 @@ def main():
     cfg = cfg_mod.load(os.path.join(_HERE, "config", "config.yaml"),
                        data_root="/tmp")
     _log("generating/loading data")
-    stable, scans, labels, valids = bench._make_data(cfg, 24)
+    stable, scans, labels, valids = bench._make_data(
+        cfg, 24, traj_step=None if args.static else args.traj_step
+    )
     _log("init model")
     state = tr.create_state(cfg, jax.random.PRNGKey(0), steps_per_epoch=1)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
@@ -67,9 +74,13 @@ def main():
     pose, keep, stats = loop(scans[0], valids[0], labels[0])  # cv + reuse
     jax.block_until_ready(pose)
 
-    _log("staging one scan on device")
-    staged = tuple(jax.device_put(a) for a in (scans[0], valids[0], labels[0]))
-    jax.block_until_ready(staged)
+    n_stage = 1 if args.static else len(scans)
+    _log(f"staging {n_stage} scan(s) on device")
+    staged_list = [
+        tuple(jax.device_put(a) for a in (scans[i], valids[i], labels[i]))
+        for i in range(n_stage)
+    ]
+    jax.block_until_ready(staged_list)
     _log("drain fetch")
     t0 = time.perf_counter()
     _ = int(jnp.sum(keep))
@@ -80,7 +91,7 @@ def main():
         _log(f"round {r}: {args.dispatches} chained fetch-free dispatches")
         t0 = time.perf_counter()
         for i in range(args.dispatches):
-            pose, keep, stats = loop(*staged)
+            pose, keep, stats = loop(*staged_list[i % n_stage])
         _ = int(jnp.sum(keep))
         wall = time.perf_counter() - t0
         t = args.dispatches / wall
@@ -91,7 +102,7 @@ def main():
     lat = []
     for i in range(16):
         t0 = time.perf_counter()
-        pose, keep, stats = loop(*staged)
+        pose, keep, stats = loop(*staged_list[i % n_stage])
         jax.block_until_ready((pose, keep))
         lat.append(time.perf_counter() - t0)
     lat = np.asarray(lat)
@@ -107,6 +118,9 @@ def main():
         "reg_rmse": round(float(stats["reg_rmse"]), 4),
         "overflow": bool(stats["overflow"]),
         "topo_every": cfg.tpu.topo_every,
+        "protocol": "static" if args.static else "trajectory",
+        "traj_step_m": None if args.static else args.traj_step,
+        "topo_miss_points_last": int(stats.get("topo_miss_points", 0)),
         "device": str(jax.devices()[0]),
     }
     os.makedirs(os.path.join(_HERE, "exp_results"), exist_ok=True)

@@ -52,12 +52,15 @@ def log(m):
 @click.option("--baselines-out", default="./ckpt_baselines")
 @click.option("--baseline-steps", type=int, default=300)
 @click.option("--runs", type=int, default=2)
-@click.option("--filters", default="sps,mask,raw,mos4d,mapmos,lts")
+@click.option("--filters", default="sps,mask,raw,mos4d,mapmos,lts,oracle")
 @click.option("--out", default="./exp_results")
 @click.option("--skip-train", is_flag=True, help="reuse <ckpt-out>/best")
+@click.option("--resume-train", is_flag=True,
+              help="resume stage A from /tmp/ckpt_pipeline/last (wedged-"
+              "session recovery; epochs already trained are not repeated)")
 @click.option("--skip-baselines", is_flag=True)
 def main(config, data, epochs, ckpt_out, baselines_out, baseline_steps,
-         runs, filters, out, skip_train, skip_baselines):
+         runs, filters, out, skip_train, resume_train, skip_baselines):
     import jax
 
     from sps_tpu import config as cfg_mod
@@ -79,7 +82,8 @@ def main(config, data, epochs, ckpt_out, baselines_out, baseline_steps,
         log(f"skip-train: using {best_repo}")
     else:
         log(f"stage A: training {epochs} epochs on {data}")
-        best = tr.fit(cfg, log_dir="/tmp/tb_pipeline", ckpt_dir="/tmp/ckpt_pipeline")
+        best = tr.fit(cfg, log_dir="/tmp/tb_pipeline",
+                      ckpt_dir="/tmp/ckpt_pipeline", resume=resume_train)
         os.makedirs(ckpt_out, exist_ok=True)
         if os.path.isdir(best_repo):
             shutil.rmtree(best_repo)
@@ -195,6 +199,7 @@ def main(config, data, epochs, ckpt_out, baselines_out, baseline_steps,
                     try:
                         r = loc.run_localization(
                             cfg_e, variables, seq, flt, seed=run,
+                            prior="odom", init_noise=0.05,
                             baseline_weights=os.path.abspath(baselines_out),
                             refine=True, cache=cache,
                             log=lambda s: None,

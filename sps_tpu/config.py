@@ -87,6 +87,9 @@ class TPUConfig:
     # Fold only the k=5 stem into the zband layout (see
     # MinkUNetConfig.stem_zband).
     stem_zband: bool = False
+    # Run the 1x1 head on the z-folded layout (see
+    # MinkUNetConfig.head_fold).
+    head_fold: bool = False
     # Streaming topology reuse (atlas engine): rebuild the topology
     # pyramid every N scans and run the cheap cached-topology program in
     # between (stream/engine.py). 0 disables. Exact whenever the cached
@@ -148,6 +151,7 @@ class Config:
                 remat=self.tpu.remat,
                 int8=self.tpu.int8,
                 stem_zband=self.tpu.stem_zband,
+                head_fold=self.tpu.head_fold,
             ),
             engine=self.tpu.engine,
             brick_side=self.tpu.brick_side,
@@ -211,5 +215,6 @@ def load(path: str, data_root: str | None = None) -> Config:
             int8=bool(tpu.get("INT8", False)),
             topo_every=int(tpu.get("TOPO_EVERY", 0)),
             stem_zband=bool(tpu.get("STEM_ZBAND", False)),
+            head_fold=bool(tpu.get("HEAD_FOLD", False)),
         ),
     )

@@ -73,6 +73,12 @@ class MinkUNetConfig:
     # 3.33x FLOP inflation on the wide convs that made full zband lose.
     # Costs one unfold layout copy of the stem output.
     stem_zband: bool = False
+    # Run the 1x1 head on the z-folded layout: the head OUTPUT's minor
+    # dim becomes bs*T*C (16 lanes) instead of T*C (2), whose (8, 128)
+    # tile padding cost ~4.7 ms of head elementwise passes (DESIGN §8
+    # lever #2). Memory order is devoxelize-identical; costs one fold
+    # copy of the 16-channel pre-head tensor.
+    head_fold: bool = False
     # Inference-only int8 quantization of the brick-level 3^3 convs (the
     # five >4 ms/scan convs of the round-3 attribution all run there):
     # dynamic per-tensor activation scales, per-channel weight scales,
@@ -669,6 +675,22 @@ class MinkUNet(nn.Module):
         # head — gather N pre-head rows, then 1x1 — was measured SLOWER
         # e2e (12.1 vs 12.5 scans/s): 131k 32-byte row gathers cost more
         # than the dense 5.8M-slot matmul once the bias stays bf16.)
+        if (
+            cfg.head_fold
+            and _is_brick(l0)
+            and x.ndim == 5
+            and cfg.sp_axis is None
+        ):
+            # Folded head (config.head_fold): fold z into channels, run
+            # the 1x1 as the block-diagonal kron (the SpConv 4-dim path),
+            # return the folded output. Row-major memory order equals the
+            # unfolded (B,bs,bs,bs,T*C), so devoxelize_flat is unchanged.
+            xh = bk.fold_z(x)
+            o0 = occ[0]
+            occ_h = o0.reshape(o0.shape[0], o0.shape[1], o0.shape[2], -1)
+            return SpConv(
+                p[7], cfg.out_channels, 1, 1, t, use_bias=True, name="final"
+            )(xh, l0, occ_h)
         x = SpConv(p[7], cfg.out_channels, 1, 1, t, use_bias=True, name="final")(
             x, l0, occ[0]
         )

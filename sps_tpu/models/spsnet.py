@@ -224,6 +224,12 @@ class SPSModel(nn.Module):
                 .min(point_dist.astype(jnp.float32))
             )[:st].reshape(occ0.shape)
             d01 = (dvox / cfg.dist_cap) * occ0
+            # The MAP time slot's distance-to-map is 0 by definition.
+            # Forcing it removes a train/stream skew: offline, submap
+            # points scatter ~0 there; online, no points carry MAP_T and
+            # the empty cells would read cap on every overlap voxel.
+            if t >= 2:
+                d01 = d01.at[..., MAP_T].set(0.0)
             feats0 = (
                 jnp.stack([0.5 * occ0, d01], axis=-1)
                 .reshape(occ0.shape[:-1] + (t * 2,))
