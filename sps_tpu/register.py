@@ -373,6 +373,7 @@ def register(
     iters: int = 12,
     damping: float = 1e-4,
     huber: float = 0.3,
+    point_w: jnp.ndarray | None = None,
 ):
     """Point-to-plane ICP of (N, 3) scan (sensor frame) against the map.
 
@@ -380,6 +381,13 @@ def register(
     The Gauss-Newton iteration runs entirely on (N,) column arrays (see
     _correspond_cols); H and g accumulate as 27 fused masked reductions,
     and only the 6x6 solve touches a 2-D array.
+
+    point_w: optional (N,) per-point confidence multiplied into the
+    robust weights — the SOFT form of stability filtering: instead of
+    the reference's binary cut at eps (sps_node.py:147-148), every point
+    stays a constraint scaled by its stability (e.g. (1 - score)^2).
+    Uncertain surfaces stop biasing the normal equations without
+    discarding the constraint budget the way hard thresholding does.
     """
     sx, sy, sz = scan[:, 0], scan[:, 1], scan[:, 2]
     use_lut = vmap.lut is not None
@@ -415,6 +423,8 @@ def register(
         cols, r, hit = residual_cols(pose)
         absr = jnp.abs(r) + 1e-12
         w = jnp.where(absr < huber, 1.0, huber / absr) * hit.astype(jnp.float32)
+        if point_w is not None:
+            w = w * point_w
         h = jnp.eye(6) * damping
         g = jnp.zeros((6,))
         entries_h = []
@@ -438,6 +448,8 @@ def register(
     # Final stats.
     _, r, hit = residual_cols(pose)
     w = hit.astype(jnp.float32)
+    if point_w is not None:
+        w = w * point_w
     rmse = jnp.sqrt(jnp.sum(w * r * r) / jnp.maximum(jnp.sum(w), 1.0))
     stats = {"inliers": jnp.sum(hit.astype(jnp.int32)), "rmse": rmse}
     return pose, stats
@@ -454,6 +466,7 @@ def register_pyramid(
     yaw_span: float = 0.6,
     yaw_steps: int = 13,
     coarse_stride: int = 8,
+    point_w: jnp.ndarray | None = None,
 ):
     """Coarse-to-fine ICP over a list of VoxelMaps (coarsest first).
 
@@ -478,9 +491,10 @@ def register_pyramid(
     stats = None
     for li, vm in enumerate(vmaps):
         last = li == len(vmaps) - 1
-        s, v = scan, valid
+        s, v, pw = scan, valid, point_w
         if not last and coarse_stride > 1:
             s, v = scan[::coarse_stride], valid[::coarse_stride]
+            pw = point_w[::coarse_stride] if point_w is not None else None
         if li == 0 and yaw_steps > 0:
             pose = yaw_search(
                 vm, s, v, pose,
@@ -491,5 +505,5 @@ def register_pyramid(
         # voxel-quantization-noisy); the finest level gets the full count.
         it = iters if last else max(iters // 2, 4)
         hb = huber if last else huber * vm.voxel_size / vmaps[-1].voxel_size
-        pose, stats = register(vm, s, v, pose, iters=it, huber=hb)
+        pose, stats = register(vm, s, v, pose, iters=it, huber=hb, point_w=pw)
     return pose, stats

@@ -26,12 +26,12 @@ from sps_tpu.data import blt
 from sps_tpu.stream.engine import StreamingFilter
 from sps_tpu.utils.geometry import transform_points
 
-FILTERS = ("sps", "mask", "raw", "mos4d", "mapmos", "lts", "oracle")
+FILTERS = ("sps", "sps-soft", "mask", "raw", "mos4d", "mapmos", "lts", "oracle")
 
 # Filters whose keep decision depends on the pose they are evaluated at
 # (map-overlap / map-crop tests). "oracle" uses ground-truth labels, so
 # it is pose-free like "raw"/"lts".
-POSE_CONSUMING = ("sps", "mask", "mos4d", "mapmos")
+POSE_CONSUMING = ("sps", "sps-soft", "mask", "mos4d", "mapmos")
 
 
 def ate_rmse(est: np.ndarray, gt: np.ndarray) -> float:
@@ -237,7 +237,7 @@ def run_localization(
     vmap_coarse, vmap = cache["vmaps"]
     filt = None
     mask_fn = None
-    if filter_mode == "sps":
+    if filter_mode in ("sps", "sps-soft"):
         if "sps" in cache:
             filt = cache["sps"]
             filt.eps = cfg.threshold
@@ -292,6 +292,11 @@ def run_localization(
         cache["reg_fn"] = jax.jit(
             lambda vms, s, v, p: reg.register_pyramid(vms, s, v, p, iters=icp_iters)
         )
+        cache["reg_fn_w"] = jax.jit(
+            lambda vms, s, v, p, w: reg.register_pyramid(
+                vms, s, v, p, iters=icp_iters, point_w=w
+            )
+        )
     reg_fn = cache["reg_fn"]
 
     est_list: list[np.ndarray] = []
@@ -314,6 +319,17 @@ def run_localization(
                 guess[:3, 3] += rng.normal(0, init_noise, 3)
         else:
             guess = cv_predict(est_list)
+
+        def soft_weights(at_pose):
+            """sps-soft: continuous per-point confidence (1 - score)^2 —
+            every point stays a registration constraint, scaled by
+            stability (register.register point_w). The framework-native
+            alternative to the reference's binary cut: hard thresholding
+            trades constraint budget against contamination; the soft
+            form needs no epsilon at all."""
+            scores, _, _ = filt(sx, sv, sl, at_pose.astype(np.float32))
+            w = (1.0 - np.asarray(scores)) ** 2
+            return (w * sv).astype(np.float32)
 
         def apply_filter(at_pose, rerun=False):
             if filter_mode == "sps":
@@ -351,6 +367,7 @@ def run_localization(
             return sv.copy() if k.sum() < floor * sv.sum() else k
 
         keep = sv
+        point_w = None
         cv_raw_first = prior == "cv" and i > 1 and filter_mode in POSE_CONSUMING
         if filter_mode == "lts":
             # LTS resamples via the range image; register its kept points.
@@ -368,26 +385,44 @@ def run_localization(
             keep = sv & (sl < 0.5)
         elif cv_raw_first:
             keep = sv  # register unfiltered first; filter at the estimate
+        elif filter_mode == "sps-soft":
+            point_w = soft_weights(guess)
+            # Weight-collapse guard, the soft analog of `guard`.
+            if point_w.sum() < floor * sv.sum():
+                point_w = None
         else:
             keep = guard(apply_filter(guess))
 
+        def do_reg(kmask, at, w=None):
+            if w is not None:
+                return cache["reg_fn_w"](
+                    (vmap_coarse, vmap), jnp.asarray(sx), jnp.asarray(kmask),
+                    jnp.asarray(at.astype(np.float32)), jnp.asarray(w),
+                )
+            return reg_fn(
+                (vmap_coarse, vmap), jnp.asarray(sx), jnp.asarray(kmask),
+                jnp.asarray(at.astype(np.float32)),
+            )
+
         kept = keep & sv
-        pose, stats_r = reg_fn(
-            (vmap_coarse, vmap),
-            jnp.asarray(sx),
-            jnp.asarray(kept),
-            jnp.asarray(guess.astype(np.float32)),
-        )
+        pose, stats_r = do_reg(kept, guess, point_w)
         if cv_raw_first:
             est0 = np.asarray(pose)
-            kept2 = guard(apply_filter(est0)) & sv
-            kept = kept2
-            pose, stats_r = reg_fn(
-                (vmap_coarse, vmap),
-                jnp.asarray(sx),
-                jnp.asarray(kept),
-                jnp.asarray(est0.astype(np.float32)),
-            )
+            if filter_mode == "sps-soft":
+                point_w = soft_weights(est0)
+                if point_w.sum() < floor * sv.sum():
+                    point_w = None
+                pose, stats_r = do_reg(kept, est0, point_w)
+            else:
+                kept2 = guard(apply_filter(est0)) & sv
+                kept = kept2
+                pose, stats_r = do_reg(kept, est0)
+        elif refine and filter_mode == "sps-soft":
+            est0 = np.asarray(pose)
+            w2 = soft_weights(est0)
+            if w2.sum() >= floor * sv.sum():
+                point_w = w2
+                pose, stats_r = do_reg(kept, est0, point_w)
         elif refine and filter_mode in POSE_CONSUMING:
             est0 = np.asarray(pose)
             kept2 = apply_filter(est0, rerun=True) & sv
@@ -397,13 +432,11 @@ def run_localization(
             # the pre-refine registration then.
             if kept2.sum() >= max(0.5 * kept.sum(), floor * sv.sum()):
                 kept = kept2
-                pose, stats_r = reg_fn(
-                    (vmap_coarse, vmap),
-                    jnp.asarray(sx),
-                    jnp.asarray(kept),
-                    jnp.asarray(est0.astype(np.float32)),
-                )
-        kept_frac.append(kept.sum() / max(sv.sum(), 1))
+                pose, stats_r = do_reg(kept, est0)
+        if filter_mode == "sps-soft" and point_w is not None:
+            kept_frac.append(point_w.sum() / max(sv.sum(), 1))
+        else:
+            kept_frac.append(kept.sum() / max(sv.sum(), 1))
         est = np.asarray(pose)
         est_list.append(est)
         terr = np.linalg.norm(est[:3, 3] - gt_poses[i][:3, 3])
