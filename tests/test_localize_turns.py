@@ -85,8 +85,9 @@ def test_cv_prior_tracks_sharp_turns(setup):
 
 
 def test_cv_predict_constant_turn_exact():
-    """Constant yaw-rate motion: all window deltas equal, so the chordal
-    mean is exact and the prediction composes the exact delta."""
+    """Constant yaw-rate motion: all window deltas equal, so the se(3)
+    log-mean is exact — tested undamped (damp=1); the shipping default
+    deliberately damps the extrapolation (see cv_predict docstring)."""
     yaw = np.deg2rad(25.0)
     c, s = np.cos(yaw), np.sin(yaw)
     delta = np.eye(4)
@@ -95,7 +96,7 @@ def test_cv_predict_constant_turn_exact():
     poses = [np.eye(4)]
     for _ in range(4):
         poses.append(poses[-1] @ delta)
-    pred = localize.cv_predict(poses)
+    pred = localize.cv_predict(poses, damp=1.0)
     np.testing.assert_allclose(pred, poses[-1] @ delta, atol=1e-8)
 
 
